@@ -1,0 +1,240 @@
+"""Transformer building blocks: rotary embedding, GEGLU feed-forward,
+multi-head attention, sandwich-norm transformer stack, FLIP patch dropout.
+
+Behavioral parity targets (reference `x_clip/x_clip.py`):
+  * RotaryEmbedding / rotate_half / apply_rotary_pos_emb — x_clip.py:155-176.
+    Quirk reproduced: rotary is applied to q, k AND v (x_clip.py:223).
+  * GEGLU + FeedForward with NormFormer inner LayerNorm — x_clip.py:180-199.
+    GELU is the exact (erf) variant, matching torch F.gelu's default.
+  * Attention — x_clip.py:201-245: fused qkv (no bias), q pre-scaled, key
+    padding + causal masks filled with -finfo.max, softmax in fp32 then cast
+    back, output proj (no bias) followed by LayerNorm.
+  * Transformer — x_clip.py:247-291: norm_in → depth×(PreNorm-Attn + res,
+    PreNorm-FF + res) → norm_out, per-block gradient checkpointing.
+  * PatchDropout — x_clip.py:134-151: keeps max(1, int(n*(1-p))) patches,
+    uniformly random, unordered.
+
+TPU-first design notes: per-layer parameters are STACKED along a leading
+depth axis and the block loop is a `lax.scan` (one compiled block body
+regardless of depth — fast compiles, and the stacked weights give clean
+tensor-parallel sharding rules). The attention inner product can be routed
+to a Pallas flash-attention kernel via `attn_impl='flash'`.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .core import (RngStream, dropout, layer_norm_apply, layer_norm_init,
+                   linear_init)
+
+
+# --------------------------------------------------------------------------
+# rotary positional embedding
+# --------------------------------------------------------------------------
+
+def rotary_freqs(seq_len: int, rot_dim: int, dtype=jnp.float32) -> jax.Array:
+    """`cat((freqs, freqs), -1)` of shape (seq_len, rot_dim) with
+    inv_freq = 1/10000^(2i/rot_dim) — reference x_clip.py:155-165."""
+    inv_freq = 1.0 / (10000 ** (jnp.arange(0, rot_dim, 2, dtype=jnp.float32) / rot_dim))
+    t = jnp.arange(seq_len, dtype=jnp.float32)
+    freqs = jnp.einsum("i,j->ij", t, inv_freq)
+    return jnp.concatenate([freqs, freqs], axis=-1).astype(dtype)
+
+
+def _rotate_half(x: jax.Array) -> jax.Array:
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def apply_rotary_pos_emb(freqs: jax.Array, t: jax.Array) -> jax.Array:
+    """Partial-dim rotation: first rot_dim features rotated, rest passed
+    through — reference x_clip.py:172-176."""
+    rot_dim = freqs.shape[-1]
+    t_rot, t_pass = t[..., :rot_dim], t[..., rot_dim:]
+    cos = jnp.cos(freqs).astype(t.dtype)
+    sin = jnp.sin(freqs).astype(t.dtype)
+    t_rot = t_rot * cos + _rotate_half(t_rot) * sin
+    return jnp.concatenate([t_rot, t_pass], axis=-1)
+
+
+# --------------------------------------------------------------------------
+# feed forward (GEGLU + inner LayerNorm)
+# --------------------------------------------------------------------------
+
+def feed_forward_init(key, dim: int, mult: int = 4, dtype=jnp.float32):
+    inner = int(dim * mult)
+    k1, k2 = jax.random.split(key)
+    return {
+        "norm": layer_norm_init(dim, dtype),          # PreNorm
+        "w_in": linear_init(k1, dim, inner * 2, dtype=dtype),
+        "inner_norm": layer_norm_init(inner, dtype),
+        "w_out": linear_init(k2, inner, dim, dtype=dtype),
+    }
+
+
+def feed_forward_apply(params, x, *, ff_dropout: float = 0.0,
+                       rngs: Optional[RngStream] = None, training: bool = False):
+    x = layer_norm_apply(params["norm"], x)
+    x = x @ params["w_in"]["w"]
+    x, gate = jnp.split(x, 2, axis=-1)
+    x = x * jax.nn.gelu(gate, approximate=False)
+    x = layer_norm_apply(params["inner_norm"], x)
+    if training and ff_dropout > 0.0 and rngs:
+        x = dropout(rngs.next(), x, ff_dropout, training)
+    return x @ params["w_out"]["w"]
+
+
+# --------------------------------------------------------------------------
+# attention
+# --------------------------------------------------------------------------
+
+def attention_init(key, dim: int, dim_head: int = 64, heads: int = 8, dtype=jnp.float32):
+    inner = dim_head * heads
+    k1, k2 = jax.random.split(key)
+    return {
+        "norm": layer_norm_init(dim, dtype),          # PreNorm
+        "to_qkv": linear_init(k1, dim, inner * 3, dtype=dtype),
+        "to_out": linear_init(k2, inner, dim, dtype=dtype),
+        "out_norm": layer_norm_init(dim, dtype),
+    }
+
+
+def attention_apply(params, x, *, heads: int, dim_head: int,
+                    causal: bool = False,
+                    mask: Optional[jax.Array] = None,
+                    rotary: Optional[jax.Array] = None,
+                    attn_dropout: float = 0.0,
+                    rngs: Optional[RngStream] = None,
+                    training: bool = False,
+                    attn_impl: str = "xla"):
+    b, n, _ = x.shape
+    scale = dim_head ** -0.5
+
+    x = layer_norm_apply(params["norm"], x)
+    qkv = x @ params["to_qkv"]["w"]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q, k, v = (t.reshape(b, n, heads, dim_head).transpose(0, 2, 1, 3) for t in (q, k, v))
+
+    q = q * scale
+
+    if rotary is not None:
+        # quirk parity: rotary applied to q, k AND v (x_clip.py:223)
+        q, k, v = (apply_rotary_pos_emb(rotary, t) for t in (q, k, v))
+
+    use_flash = (attn_impl == "flash"
+                 and not (training and attn_dropout > 0.0))
+    if use_flash:
+        from ..kernels.flash_attention import flash_attention
+        out = flash_attention(q, k, v, mask=mask, causal=causal)
+    else:
+        sim = jnp.einsum("bhid,bhjd->bhij", q, k)
+        big_neg = -jnp.finfo(sim.dtype).max
+        if mask is not None:
+            sim = jnp.where(mask[:, None, None, :], sim, big_neg)
+        if causal:
+            i = jnp.arange(n)[:, None]
+            j = jnp.arange(n)[None, :]
+            sim = jnp.where(j > i, big_neg, sim)
+        attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1).astype(sim.dtype)
+        if training and attn_dropout > 0.0 and rngs:
+            attn = dropout(rngs.next(), attn, attn_dropout, training)
+        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+
+    out = out.transpose(0, 2, 1, 3).reshape(b, n, heads * dim_head)
+    out = out @ params["to_out"]["w"]
+    return layer_norm_apply(params["out_norm"], out)
+
+
+# --------------------------------------------------------------------------
+# transformer stack (scan over stacked per-layer params)
+# --------------------------------------------------------------------------
+
+def transformer_init(key, dim: int, *, depth: int, dim_head: int = 64,
+                     heads: int = 8, ff_mult: int = 4, dtype=jnp.float32):
+    keys = jax.random.split(key, depth)
+
+    def layer_init(k):
+        ka, kf = jax.random.split(k)
+        return {
+            "attn": attention_init(ka, dim, dim_head=dim_head, heads=heads, dtype=dtype),
+            "ff": feed_forward_init(kf, dim, mult=ff_mult, dtype=dtype),
+        }
+
+    layers = [layer_init(k) for k in keys]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    return {
+        "layers": stacked,
+        "norm_in": layer_norm_init(dim, dtype),
+        "norm_out": layer_norm_init(dim, dtype),
+    }
+
+
+def transformer_apply(params, x, *, heads: int, dim_head: int,
+                      causal: bool = False,
+                      mask: Optional[jax.Array] = None,
+                      rotary: Optional[jax.Array] = None,
+                      attn_dropout: float = 0.0,
+                      ff_dropout: float = 0.0,
+                      rng: Optional[jax.Array] = None,
+                      training: bool = False,
+                      checkpoint_during_training: bool = False,
+                      attn_impl: str = "xla",
+                      return_hidden: Optional[int] = None):
+    """Sandwich-norm transformer. If `return_hidden` is an int, also returns
+    the residual-stream activation after that block index (0-based; supports
+    negatives), used by the visual-SSL hidden-layer tap (reference
+    visual_ssl.py:141-203's forward hooks, made explicit here)."""
+    depth = jax.tree.leaves(params["layers"])[0].shape[0]
+    x = layer_norm_apply(params["norm_in"], x)
+
+    needs_dropout_rng = training and (attn_dropout > 0.0 or ff_dropout > 0.0) and rng is not None
+    if needs_dropout_rng:
+        layer_rngs = jax.random.split(rng, depth)
+    else:
+        layer_rngs = jnp.zeros((depth, 2), dtype=jnp.uint32)
+
+    collect_hidden = return_hidden is not None
+
+    def block(x, layer):
+        p, lrng = layer
+        rngs = RngStream(lrng) if needs_dropout_rng else None
+        x = attention_apply(
+            p["attn"], x, heads=heads, dim_head=dim_head, causal=causal,
+            mask=mask, rotary=rotary, attn_dropout=attn_dropout,
+            rngs=rngs, training=training, attn_impl=attn_impl) + x
+        x = feed_forward_apply(
+            p["ff"], x, ff_dropout=ff_dropout, rngs=rngs, training=training) + x
+        return x, (x if collect_hidden else None)
+
+    if training and checkpoint_during_training:
+        block = jax.checkpoint(block)
+
+    x, hiddens = jax.lax.scan(block, x, (params["layers"], layer_rngs))
+    out = layer_norm_apply(params["norm_out"], x)
+
+    if return_hidden is not None:
+        idx = return_hidden if return_hidden >= 0 else depth + return_hidden
+        return out, hiddens[idx]
+    return out
+
+
+# --------------------------------------------------------------------------
+# FLIP patch dropout
+# --------------------------------------------------------------------------
+
+def patch_dropout(rng: jax.Array, x: jax.Array, prob: float) -> jax.Array:
+    """Keep a uniformly random, unordered subset of max(1, int(n*(1-prob)))
+    patch tokens per image — reference x_clip.py:134-151 (randn+topk). The
+    kept count is static given `prob`, so shapes stay jit-friendly."""
+    assert 0.0 <= prob < 1.0
+    b, n, _ = x.shape
+    num_keep = max(1, int(n * (1 - prob)))
+    scores = jax.random.uniform(rng, (b, n))
+    _, keep_idx = jax.lax.top_k(scores, num_keep)  # unordered subset (parity quirk ok)
+    return jnp.take_along_axis(x, keep_idx[:, :, None], axis=1)
