@@ -1,0 +1,84 @@
+"""Throughput benchmark: image-text pairs/sec/chip on the flagship config
+(x-clip README default: dim 512, 6+6 layers, 256px/patch32, seq 256, FLIP
+patch dropout 0.5) — full training step (forward + backward + AdamW).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "pairs/s", "vs_baseline": N/3000}
+vs_baseline is the ratio to BASELINE.json's 3k pairs/sec/chip north star
+(the reference publishes no numbers of its own — BASELINE.md).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_PAIRS_PER_SEC = 3000.0
+
+
+def run(batch_size=256, steps=20, warmup=3, param_dtype=jnp.float32,
+        attn_impl="xla"):
+    from xclip_tpu import CLIP
+    from xclip_tpu.train import (create_train_state, default_optimizer,
+                                 make_train_step)
+
+    clip = CLIP(
+        dim_text=512, dim_image=512, dim_latent=512, num_text_tokens=10000,
+        text_enc_depth=6, text_seq_len=256, text_heads=8,
+        visual_enc_depth=6, visual_heads=8, visual_image_size=256,
+        visual_patch_size=32, visual_patch_dropout=0.5,
+        attn_impl=attn_impl, param_dtype=param_dtype)
+
+    optimizer = default_optimizer(learning_rate=1e-4)
+    state = create_train_state(clip.model, jax.random.PRNGKey(0), optimizer,
+                               dtype=param_dtype)
+    step = make_train_step(clip.model, optimizer)
+
+    npr = np.random.RandomState(0)
+    text = jnp.asarray(npr.randint(1, 10000, (batch_size, 256)))
+    image = jnp.asarray(npr.randn(batch_size, 3, 256, 256).astype(np.float32))
+
+    rngs = [jax.random.PRNGKey(i) for i in range(steps + warmup)]
+    for i in range(warmup):
+        state, metrics = step(state, text, image, rngs[i])
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, metrics = step(state, text, image, rngs[warmup + i])
+    jax.block_until_ready(metrics["loss"])
+    elapsed = time.perf_counter() - t0
+
+    pairs_per_sec = batch_size * steps / elapsed
+    return pairs_per_sec, float(metrics["loss"])
+
+
+def main():
+    batch = 256
+    while batch >= 16:
+        try:
+            pairs_per_sec, loss = run(batch_size=batch)
+            break
+        except Exception as e:  # OOM fallback
+            if "RESOURCE_EXHAUSTED" in str(e) or "Out of memory" in str(e):
+                batch //= 2
+                continue
+            raise
+    else:
+        raise RuntimeError("could not find a fitting batch size")
+
+    print(json.dumps({
+        "metric": "image-text pairs/sec/chip (ViT-B/32-class CLIP, 256px, seq 256, train step)",
+        "value": round(pairs_per_sec, 1),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3),
+        "batch_size": batch,
+        "final_loss": round(loss, 4),
+        "backend": jax.default_backend(),
+    }))
+
+
+if __name__ == "__main__":
+    main()

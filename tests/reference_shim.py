@@ -21,11 +21,13 @@ def install_reference():
         import x_clip
         return x_clip
 
-    class _IdentityTransform:
-        def __init__(self, *a, **k):
-            pass
+    import torch.nn as _nn
 
-        def __call__(self, x):
+    class _IdentityTransform(_nn.Module):
+        def __init__(self, *a, **k):
+            super().__init__()
+
+        def forward(self, x):
             return x
 
     tv = types.ModuleType("torchvision")

@@ -1,0 +1,158 @@
+"""Distributed tests on the 8-fake-device CPU mesh (SURVEY §4): the loss and
+gradients computed over a sharded global batch must equal the single-device
+computation, both via GSPMD (sharded global arrays under jit) and via the
+explicit shard_map + all_gather path (the reference's distributed.py
+semantics, which were untestable there — the gather path is broken in the
+snapshot, SURVEY §2.7.1).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from xclip_tpu import CLIP
+from xclip_tpu.parallel import create_mesh, data_sharding, shard_params
+from xclip_tpu.train import (create_train_state, default_optimizer,
+                             make_train_step, shard_batch)
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 fake CPU devices")
+
+
+def mock_clip(**over):
+    cfg = dict(dim_text=32, dim_image=32, dim_latent=32, num_text_tokens=50,
+               text_enc_depth=1, text_seq_len=8, text_heads=2, text_dim_head=16,
+               visual_enc_depth=1, visual_heads=2, visual_dim_head=16,
+               visual_image_size=16, visual_patch_size=8,
+               visual_patch_dropout=0.0)
+    cfg.update(over)
+    return CLIP(**cfg)
+
+
+def global_batch(b=8, seed=0):
+    rng = np.random.RandomState(seed)
+    text = jnp.asarray(rng.randint(1, 50, (b, 8)))
+    image = jnp.asarray(rng.randn(b, 3, 16, 16).astype(np.float32))
+    return text, image
+
+
+def test_gspmd_sharded_loss_matches_single_device():
+    clip = mock_clip()
+    text, image = global_batch()
+
+    loss_single = clip.model.apply(clip.params, text, image, return_loss=True)
+
+    mesh = create_mesh((8, 1))
+    params = shard_params(clip.params, mesh)
+    text_s = jax.device_put(text, data_sharding(mesh, text.ndim))
+    image_s = jax.device_put(image, data_sharding(mesh, image.ndim))
+
+    loss_sharded = jax.jit(
+        lambda p, t, i: clip.model.apply(p, t, i, return_loss=True)
+    )(params, text_s, image_s)
+
+    np.testing.assert_allclose(float(loss_single), float(loss_sharded),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_gspmd_sharded_grads_match_single_device():
+    clip = mock_clip(decoupled_contrastive_learning=True)
+    text, image = global_batch()
+
+    def loss_fn(p, t, i):
+        return clip.model.apply(p, t, i, return_loss=True)
+
+    g_single = jax.grad(loss_fn)(clip.params, text, image)
+
+    mesh = create_mesh((8, 1))
+    params = shard_params(clip.params, mesh)
+    text_s = jax.device_put(text, data_sharding(mesh, text.ndim))
+    image_s = jax.device_put(image, data_sharding(mesh, image.ndim))
+    g_sharded = jax.jit(jax.grad(loss_fn))(params, text_s, image_s)
+
+    for a, b in zip(jax.tree.leaves(g_single), jax.tree.leaves(g_sharded)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-5, atol=1e-6)
+
+
+def test_shard_map_all_gather_path_matches_global():
+    """Explicit-collective DP: each device holds batch/8, the loss all_gathers
+    latents over 'data' (contrastive.py axis_name path) — every device must
+    produce the single-device global-batch loss."""
+    clip = mock_clip()
+    text, image = global_batch()
+    loss_global = clip.model.apply(clip.params, text, image, return_loss=True)
+
+    mesh = create_mesh((8,), axis_names=("data",))
+
+    def local_loss(params, t, i):
+        return clip.model.apply(params, t, i, return_loss=True,
+                                axis_name="data")
+
+    sharded = shard_map(
+        local_loss, mesh=mesh,
+        in_specs=(P(), P("data"), P("data")),
+        out_specs=P(), check_vma=False)
+    loss = jax.jit(sharded)(clip.params, text, image)
+    np.testing.assert_allclose(float(loss_global), float(loss), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_shard_map_filip_gathers_text_mask():
+    clip = mock_clip(use_all_token_embeds=True)
+    rng = np.random.RandomState(1)
+    text = jnp.asarray(rng.randint(1, 50, (8, 8)))
+    text = text.at[2, 5:].set(0).at[5, 3:].set(0)  # pads across shards
+    image = jnp.asarray(rng.randn(8, 3, 16, 16).astype(np.float32))
+
+    loss_global = clip.model.apply(clip.params, text, image, return_loss=True)
+    mesh = create_mesh((8,), axis_names=("data",))
+    sharded = shard_map(
+        lambda p, t, i: clip.model.apply(p, t, i, return_loss=True,
+                                         axis_name="data"),
+        mesh=mesh, in_specs=(P(), P("data"), P("data")),
+        out_specs=P(), check_vma=False)
+    loss = jax.jit(sharded)(clip.params, text, image)
+    np.testing.assert_allclose(float(loss_global), float(loss), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_train_step_dp_tp_mesh():
+    """One optimizer step on a 4×2 (data × model) mesh: tensor-parallel
+    params + sharded batch, loss finite, params actually update."""
+    clip = mock_clip()
+    mesh = create_mesh((4, 2))
+    optimizer = default_optimizer(learning_rate=1e-3)
+    state = create_train_state(clip.model, jax.random.PRNGKey(0), optimizer)
+    from xclip_tpu.train import shard_state
+    state = shard_state(state, mesh)
+
+    text, image = global_batch()
+    text, image = shard_batch((text, image), mesh)
+
+    step = make_train_step(clip.model, optimizer, donate=False)
+    new_state, metrics = step(state, text, image, jax.random.PRNGKey(1))
+
+    assert bool(jnp.isfinite(metrics["loss"]))
+    assert int(new_state.step) == 1
+    before = jax.tree.leaves(state.params)[0]
+    after = jax.tree.leaves(new_state.params)[0]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from xclip_tpu.train import restore_checkpoint, save_checkpoint
+    clip = mock_clip()
+    optimizer = default_optimizer()
+    state = create_train_state(clip.model, jax.random.PRNGKey(0), optimizer)
+
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, state)
+    restored = restore_checkpoint(path, state)
+
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(restored.step) == 0

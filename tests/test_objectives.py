@@ -1,0 +1,150 @@
+"""Parity + behavior tests for the auxiliary objectives: MLM text SSL,
+SimSiam/SimCLR visual SSL, and their integration into the CLIP loss.
+
+Stochastic parts are made deterministic for exact parity:
+  * MLM with mask_prob=1.0, replace_prob=1.0 masks every eligible position
+    (the reference's topk+scatter then selects all positions), so both sides
+    compute the same cross-entropy.
+  * SSL with identity augmentations, patch_dropout=0 → both views identical,
+    loss deterministic given the transferred weights.
+Statistical behavior of the random paths is covered by unit tests.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from reference_shim import (install_reference, make_mock_pair, rand_batch,
+                            transfer_clip)
+
+x_clip = install_reference()
+import torch  # noqa: E402
+
+ATOL, RTOL = 5e-5, 5e-4
+
+
+def assert_close(ref_t, ours, atol=ATOL, rtol=RTOL):
+    np.testing.assert_allclose(
+        np.asarray(ours), ref_t.detach().cpu().numpy(), atol=atol, rtol=rtol)
+
+
+def test_mlm_loss_parity_deterministic():
+    ref, jclip, params = make_mock_pair(use_mlm=True, mlm_mask_prob=1.0,
+                                        mlm_replace_prob=1.0)
+    (t_text, t_img), (j_text, j_img) = rand_batch()
+    t_text[1, -4:] = 0
+    j_text = jnp.asarray(t_text.numpy())
+
+    r = ref(t_text, t_img, return_loss=True)
+    o = jclip(j_text, j_img, return_loss=True, params=params,
+              rng=jax.random.PRNGKey(0))
+    assert_close(r, o)
+
+
+def test_mlm_vocab_grows_by_one():
+    _, jclip, _ = make_mock_pair(use_mlm=True, mlm_mask_prob=1.0,
+                                 mlm_replace_prob=1.0)
+    assert jclip.model.text_encoder.num_tokens == 101  # 100 + 1 (x_clip.py:487)
+
+
+def test_mlm_random_prob_runs():
+    _, jclip, params = make_mock_pair(use_mlm=True, mlm_random_token_prob=0.1)
+    (_, _), (j_text, j_img) = rand_batch()
+    loss = jclip(j_text, j_img, return_loss=True, params=params,
+                 rng=jax.random.PRNGKey(0))
+    assert bool(jnp.isfinite(loss))
+
+
+def _identity_aug(rng, x):
+    return x
+
+
+def _make_ssl_pair(ssl_type, hidden_layer=-1, seed=0):
+    """Reference CLIP with use_visual_ssl (torchvision stubs = identity augs)
+    vs ours with an explicitly identity-augmented SSL module."""
+    from xclip_tpu import CLIP as JClip
+    from xclip_tpu.objectives.ssl import SimCLR, SimSiam
+
+    cfg = dict(
+        dim_text=64, dim_image=64, dim_latent=64, num_text_tokens=100,
+        text_enc_depth=2, text_seq_len=16, text_heads=2, text_dim_head=16,
+        visual_enc_depth=2, visual_heads=2, visual_dim_head=16,
+        visual_image_size=32, visual_patch_size=16, visual_patch_dropout=0.0,
+    )
+    torch.manual_seed(seed)
+    ref = x_clip.CLIP(**cfg, use_visual_ssl=True, visual_ssl_type=ssl_type,
+                      visual_ssl_hidden_layer=hidden_layer)
+    ref.train()
+
+    if ssl_type == "simsiam":
+        ssl = SimSiam(image_size=32, channels=3, hidden_layer=hidden_layer,
+                      augment_fn=_identity_aug, augment_fn2=_identity_aug)
+    else:
+        ssl = SimCLR(image_size=32, channels=3, hidden_layer=hidden_layer,
+                     temperature=0.1, augment_fn=_identity_aug)
+
+    jclip = JClip(**cfg, visual_ssl=ssl)
+    params = transfer_clip(ref)
+    for k in jclip.params:
+        if k not in params:
+            params[k] = jclip.params[k]
+    return ref, jclip, params
+
+
+def test_simsiam_loss_parity():
+    ref, jclip, params = _make_ssl_pair("simsiam")
+    (t_text, t_img), (j_text, j_img) = rand_batch()
+    r = ref(t_text, t_img, return_loss=True)
+    o = jclip(j_text, j_img, return_loss=True, params=params,
+              rng=jax.random.PRNGKey(0))
+    assert_close(r, o, atol=2e-4, rtol=2e-3)
+
+
+def test_simclr_loss_parity():
+    ref, jclip, params = _make_ssl_pair("simclr")
+    (t_text, t_img), (j_text, j_img) = rand_batch()
+    r = ref(t_text, t_img, return_loss=True)
+    o = jclip(j_text, j_img, return_loss=True, params=params,
+              rng=jax.random.PRNGKey(0))
+    assert_close(r, o, atol=2e-4, rtol=2e-3)
+
+
+def test_ssl_with_real_augmentations_runs():
+    from xclip_tpu import CLIP as JClip
+    jclip = JClip(
+        dim_text=64, dim_image=64, dim_latent=64, num_text_tokens=100,
+        text_enc_depth=1, text_seq_len=16, text_heads=2, text_dim_head=16,
+        visual_enc_depth=1, visual_heads=2, visual_dim_head=16,
+        visual_image_size=32, visual_patch_size=16, visual_patch_dropout=0.5,
+        use_visual_ssl=True, visual_ssl_type="simsiam", use_mlm=True)
+    (_, _), (j_text, j_img) = rand_batch()
+    loss = jclip(j_text, j_img, return_loss=True, rng=jax.random.PRNGKey(0))
+    assert bool(jnp.isfinite(loss))
+    # different rng → different stochastic loss
+    loss2 = jclip(j_text, j_img, return_loss=True, rng=jax.random.PRNGKey(1))
+    assert float(loss) != float(loss2)
+
+
+def test_loss_weighting_assembly():
+    """Weighted total = cl*(1 - w_t - w_i) + mlm*w_t + ssl*w_i (x_clip.py:851-875)."""
+    _, jclip, params = make_mock_pair(use_mlm=True, mlm_mask_prob=1.0,
+                                      mlm_replace_prob=1.0,
+                                      text_ssl_loss_weight=0.2)
+    (_, _), (j_text, j_img) = rand_batch()
+    rng = jax.random.PRNGKey(0)
+    loss, metrics = jclip(j_text, j_img, return_loss=True, params=params,
+                          rng=rng, return_metrics=True)
+    expected = metrics["cl_loss"] * 0.8 + metrics["text_ssl_loss"] * 0.2
+    np.testing.assert_allclose(float(loss), float(expected), rtol=1e-6)
+
+
+def test_metrics_breakdown_keys():
+    _, jclip, params = make_mock_pair()
+    (_, _), (j_text, j_img) = rand_batch()
+    loss, metrics = jclip(j_text, j_img, return_loss=True, params=params,
+                          return_metrics=True)
+    for key in ["loss", "cl_loss", "text_ssl_loss", "image_ssl_loss",
+                "multiview_cl_loss", "sim_reg_loss", "temperature"]:
+        assert key in metrics
+    np.testing.assert_allclose(float(loss), float(metrics["loss"]))

@@ -1,0 +1,10 @@
+"""Training subsystem: optax train step over sharded global arrays, Orbax
+checkpoint/resume, loss-breakdown metrics."""
+
+from .trainer import (TrainState, create_train_state, default_optimizer,
+                      make_train_step, shard_batch, shard_state)
+from .checkpoint import restore_checkpoint, save_checkpoint
+
+__all__ = ["TrainState", "create_train_state", "default_optimizer",
+           "make_train_step", "shard_batch", "shard_state",
+           "restore_checkpoint", "save_checkpoint"]

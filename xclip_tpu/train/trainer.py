@@ -1,0 +1,105 @@
+"""Minimal production train loop: optax optimizer, sharded global-batch train
+step, loss-breakdown metrics.
+
+The reference has no trainer at all (SURVEY §1 — it is a library); this is
+the TPU-native subsystem users otherwise hand-roll. The train step is a
+single jit over globally-sharded arrays: the batch shards over the 'data'
+mesh axis, parameters follow `parallel.sharding` rules (replicated or
+tensor-parallel), and XLA inserts every collective — the contrastive loss
+over the global batch plays the role of the reference's explicit
+all_gather-of-latents (distributed.py:41-56) with mathematically exact
+global gradients.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..parallel.mesh import create_mesh, data_sharding
+from ..parallel.sharding import param_shardings, shard_params
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def create_train_state(model, key, optimizer, dtype=jnp.float32) -> TrainState:
+    params = model.init(key, dtype=dtype)
+    return TrainState(params=params, opt_state=optimizer.init(params),
+                      step=jnp.zeros((), dtype=jnp.int32))
+
+
+def make_train_step(model, optimizer, *, donate: bool = True):
+    """Returns `step(state, text, image, rng) -> (state, metrics)` (jitted).
+
+    Place `state` with `shard_state` and the batch with `shard_batch` first;
+    jit propagates those shardings, so the same step function runs 1-chip or
+    N-chip unchanged.
+    """
+
+    def train_step(state: TrainState, text, image, rng):
+        def loss_fn(params):
+            loss, metrics = model.apply(
+                params, text, image, return_loss=True, rng=rng,
+                training=True, return_metrics=True)
+            return loss, metrics
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               step=state.step + 1)
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def shard_state(state: TrainState, mesh) -> TrainState:
+    """Place params (and mirrored opt state) per the TP/DP sharding rules."""
+    params = shard_params(state.params, mesh)
+    pspec = param_shardings(state.params, mesh)
+
+    def place_opt(x):
+        # optimizer moments mirror the param tree where shapes line up
+        return x
+
+    opt_state = jax.tree.map(place_opt, state.opt_state)
+    # let jit lay out opt_state consistently on first step; placing params
+    # is the load-bearing part
+    return TrainState(params=params, opt_state=opt_state, step=state.step)
+
+
+def shard_batch(batch_arrays, mesh):
+    """Shard each array's leading (batch) dim over the 'data' axis."""
+    return tuple(
+        jax.device_put(a, data_sharding(mesh, a.ndim)) for a in batch_arrays)
+
+
+def default_optimizer(learning_rate: float = 3e-4, weight_decay: float = 0.2,
+                      b1: float = 0.9, b2: float = 0.98,
+                      max_grad_norm: Optional[float] = 1.0,
+                      warmup_steps: int = 0, total_steps: Optional[int] = None):
+    """CLIP-style AdamW (decoupled weight decay, β2=0.98) with optional
+    clipping and cosine schedule."""
+    if warmup_steps and total_steps:
+        schedule = optax.warmup_cosine_decay_schedule(
+            0.0, learning_rate, warmup_steps, total_steps)
+    else:
+        schedule = learning_rate
+    chain = []
+    if max_grad_norm is not None:
+        chain.append(optax.clip_by_global_norm(max_grad_norm))
+    chain.append(optax.adamw(schedule, b1=b1, b2=b2, weight_decay=weight_decay))
+    return optax.chain(*chain)
