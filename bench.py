@@ -19,7 +19,7 @@ BASELINE_PAIRS_PER_SEC = 3000.0
 
 
 def run(batch_size=256, steps=20, warmup=3, param_dtype=jnp.float32,
-        attn_impl="xla"):
+        attn_impl="xla", compute_dtype="bfloat16", remat=True):
     from xclip_tpu import CLIP
     from xclip_tpu.train import (create_train_state, default_optimizer,
                                  make_train_step)
@@ -29,7 +29,9 @@ def run(batch_size=256, steps=20, warmup=3, param_dtype=jnp.float32,
         text_enc_depth=6, text_seq_len=256, text_heads=8,
         visual_enc_depth=6, visual_heads=8, visual_image_size=256,
         visual_patch_size=32, visual_patch_dropout=0.5,
-        attn_impl=attn_impl, param_dtype=param_dtype)
+        checkpoint_during_training=remat,
+        attn_impl=attn_impl, param_dtype=param_dtype,
+        compute_dtype=compute_dtype)
 
     optimizer = default_optimizer(learning_rate=1e-4)
     state = create_train_state(clip.model, jax.random.PRNGKey(0), optimizer,
@@ -43,26 +45,37 @@ def run(batch_size=256, steps=20, warmup=3, param_dtype=jnp.float32,
     rngs = [jax.random.PRNGKey(i) for i in range(steps + warmup)]
     for i in range(warmup):
         state, metrics = step(state, text, image, rngs[i])
-    jax.block_until_ready(metrics["loss"])
+    jax.block_until_ready((state, metrics))
 
     t0 = time.perf_counter()
+    losses = []
     for i in range(steps):
         state, metrics = step(state, text, image, rngs[warmup + i])
-    jax.block_until_ready(metrics["loss"])
+        losses.append(float(metrics["loss"]))  # hard host sync every step
+    jax.block_until_ready(state)
     elapsed = time.perf_counter() - t0
 
     pairs_per_sec = batch_size * steps / elapsed
-    return pairs_per_sec, float(metrics["loss"])
+    return pairs_per_sec, losses[-1]
+
+
+def _is_oom(e: Exception) -> bool:
+    s = str(e).lower()
+    return any(k in s for k in ("resource_exhausted", "out of memory",
+                                "exceeds the memory", "allocat"))
 
 
 def main():
-    batch = 256
+    import sys
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     while batch >= 16:
         try:
             pairs_per_sec, loss = run(batch_size=batch)
             break
         except Exception as e:  # OOM fallback
-            if "RESOURCE_EXHAUSTED" in str(e) or "Out of memory" in str(e):
+            if _is_oom(e):
+                print(f"# batch {batch} OOM, retrying at {batch // 2}",
+                      file=sys.stderr)
                 batch //= 2
                 continue
             raise

@@ -1,0 +1,82 @@
+"""Input-pipeline tests: tokenization/collation, prefetch ordering, mesh
+sharding of batches, and end-to-end loader → train-step flow."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from xclip_tpu.data.pipeline import TextImageLoader
+from xclip_tpu.data.tokenizer import SimpleTokenizer
+from xclip_tpu.parallel import create_mesh
+
+
+def make_examples(n=10, image=16):
+    rng = np.random.RandomState(0)
+    texts = [f"a photo of thing number {i}" for i in range(n)]
+    images = [rng.randn(3, image, image).astype(np.float32) for i in range(n)]
+    return list(zip(texts, images))
+
+
+def test_loader_batches_and_shapes():
+    loader = TextImageLoader(make_examples(10), batch_size=4,
+                             context_length=16)
+    batches = list(loader)
+    assert len(batches) == 2  # drop_remainder
+    for b in batches:
+        assert b["text"].shape == (4, 16)
+        assert b["image"].shape == (4, 3, 16, 16)
+        assert b["text"].dtype == jnp.int32
+
+
+def test_loader_keeps_remainder_when_asked():
+    loader = TextImageLoader(make_examples(10), batch_size=4,
+                             context_length=16, drop_remainder=False)
+    batches = list(loader)
+    assert len(batches) == 3
+    assert batches[-1]["text"].shape[0] == 2
+
+
+def test_loader_pretokenized_input():
+    tok = SimpleTokenizer()
+    examples = [(tok.encode(t), im) for t, im in make_examples(4)]
+    loader = TextImageLoader(examples, batch_size=4, context_length=16)
+    (batch,) = list(loader)
+    ref = tok.tokenize([t for t, _ in make_examples(4)], context_length=16,
+                       pad_to_context_length=True)
+    np.testing.assert_array_equal(np.asarray(batch["text"]), ref)
+
+
+def test_loader_shards_over_mesh():
+    mesh = create_mesh((8,), axis_names=("data",))
+    loader = TextImageLoader(make_examples(16), batch_size=8,
+                             context_length=16, mesh=mesh)
+    for batch in loader:
+        assert "data" in str(batch["text"].sharding.spec)
+        assert batch["text"].shape[0] == 8
+
+
+def test_loader_reiterable_with_factory():
+    loader = TextImageLoader(lambda: iter(make_examples(8)), batch_size=4,
+                             context_length=16)
+    assert len(list(loader)) == 2
+    assert len(list(loader)) == 2  # second epoch works
+
+
+def test_loader_feeds_train_step():
+    from xclip_tpu import CLIP
+    from xclip_tpu.train import (create_train_state, default_optimizer,
+                                 make_train_step)
+    clip = CLIP(dim_text=32, dim_image=32, dim_latent=32, num_text_tokens=49408,
+                text_enc_depth=1, text_seq_len=16, text_heads=2, text_dim_head=16,
+                visual_enc_depth=1, visual_heads=2, visual_dim_head=16,
+                visual_image_size=16, visual_patch_size=8,
+                visual_patch_dropout=0.0)
+    optimizer = default_optimizer()
+    state = create_train_state(clip.model, jax.random.PRNGKey(0), optimizer)
+    step = make_train_step(clip.model, optimizer, donate=False)
+    loader = TextImageLoader(make_examples(8), batch_size=4, context_length=16)
+    for i, batch in enumerate(loader):
+        state, metrics = step(state, batch["text"], batch["image"],
+                              jax.random.PRNGKey(i))
+    assert int(state.step) == 2
+    assert bool(jnp.isfinite(metrics["loss"]))

@@ -89,3 +89,17 @@ def test_tokenize_parity_with_reference():
     ours = tok.tokenize(SAMPLES[:4], context_length=64)
     theirs = ref_tokenizer.tokenize(list(SAMPLES[:4]), context_length=64)
     np.testing.assert_array_equal(ours, theirs.numpy())
+
+
+def test_native_bpe_parity():
+    """The C++ fast-BPE path must match the pure-Python merge loop exactly."""
+    try:
+        native = SimpleTokenizer(use_native=True)
+    except Exception:
+        pytest.skip("native toolchain unavailable")
+    if native._native is None:
+        pytest.skip("native fastbpe not built")
+    python = SimpleTokenizer(use_native=False)
+    for text in SAMPLES + ["antidisestablishmentarianism 12345 !!!",
+                           "ünïcode wörds ünïcode"]:
+        assert native.encode(text) == python.encode(text), text

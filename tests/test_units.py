@@ -204,3 +204,35 @@ def test_grayscale_augment_channels():
     x = jnp.asarray(np.random.RandomState(0).rand(2, 1, 16, 16).astype(np.float32))
     out = default_augment(jax.random.PRNGKey(0), x, 16, channels=1)
     assert out.shape == x.shape
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_attention_gradients_match_xla(causal):
+    from xclip_tpu.kernels.flash_attention import flash_attention
+    rng = np.random.RandomState(0)
+    b, h, seq, d = 2, 2, 65, 16
+    q = jnp.asarray(rng.randn(b, h, seq, d).astype(np.float32)) * d ** -0.5
+    k = jnp.asarray(rng.randn(b, h, seq, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, h, seq, d).astype(np.float32))
+    mask = jnp.asarray(rng.rand(b, seq) > 0.2).at[:, 0].set(True)
+    cot = jnp.asarray(rng.randn(b, h, seq, d).astype(np.float32))
+
+    def dense(q, k, v):
+        sim = jnp.einsum("bhid,bhjd->bhij", q, k)
+        neg = -jnp.finfo(sim.dtype).max
+        sim = jnp.where(mask[:, None, None, :], sim, neg)
+        if causal:
+            i = jnp.arange(seq)[:, None]
+            j = jnp.arange(seq)[None, :]
+            sim = jnp.where(j > i, neg, sim)
+        attn = jax.nn.softmax(sim.astype(jnp.float32), -1)
+        return jnp.einsum("bhij,bhjd->bhid", attn, v)
+
+    def flash(q, k, v):
+        return flash_attention(q, k, v, mask=mask, causal=causal, interpret=True)
+
+    g_dense = jax.grad(lambda *a: jnp.vdot(dense(*a), cot), argnums=(0, 1, 2))(q, k, v)
+    g_flash = jax.grad(lambda *a: jnp.vdot(flash(*a), cot), argnums=(0, 1, 2))(q, k, v)
+    for gd, gf, name in zip(g_dense, g_flash, "qkv"):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gd),
+                                   atol=5e-5, rtol=5e-4, err_msg=f"d{name}")

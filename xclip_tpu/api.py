@@ -102,6 +102,7 @@ class CLIP:
         key: Optional[jax.Array] = None,
         param_dtype=jnp.float32,
         attn_impl: str = "xla",
+        compute_dtype: Optional[str] = None,
         **kwargs,
     ):
         if text_encoder is None:
@@ -178,6 +179,7 @@ class CLIP:
             multiview_loss_weight=multiview_loss_weight,
             sim_reg_loss_weight=sim_reg_loss_weight,
             attn_impl=attn_impl,
+            compute_dtype=compute_dtype,
         )
 
         key = key if key is not None else jax.random.PRNGKey(0)

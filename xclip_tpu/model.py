@@ -72,6 +72,7 @@ class CLIPModel:
     multiview_loss_weight: float = 0.1
     sim_reg_loss_weight: float = 0.0
     attn_impl: str = "xla"
+    compute_dtype: Optional[str] = None  # e.g. "bfloat16" for MXU-rate matmuls
 
     def __post_init__(self):
         assert self.use_all_token_embeds or self.visual_has_cls_token or self.text_has_cls_token, (
@@ -155,6 +156,16 @@ class CLIPModel:
         rngs = RngStream(rng)
         metrics = {}
 
+        # mixed precision: params/images cast to the compute dtype on entry;
+        # LayerNorm stats, softmax, and the contrastive loss stay fp32
+        # (nn/core.py, nn/layers.py, the .astype(f32) below)
+        if self.compute_dtype is not None:
+            cdtype = jnp.dtype(self.compute_dtype)
+            params = jax.tree.map(
+                lambda x: x.astype(cdtype)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+            image = image.astype(cdtype)
+
         # ---- text padding mask (x_clip.py:614)
         text_mask = text != self.text_pad_id
 
@@ -233,22 +244,29 @@ class CLIPModel:
             text_embeds = enc_text[:, 0] if enc_text.ndim == 3 else enc_text
             image_embeds = enc_image[:, 0] if enc_image.ndim == 3 else enc_image
 
-        # ---- latent projections + l2norm (x_clip.py:713-724)
-        text_latents = l2norm(text_embeds @ params["to_text_latent"]["w"])
-        image_latents = l2norm(self._visual_latent(params["to_visual_latent"], image_embeds))
+        # ---- latent projections + l2norm (x_clip.py:713-724); the projection
+        # matmul runs in the compute dtype, normalization and everything
+        # downstream (similarities, LSE) in fp32
+        def to_f32(x):
+            return x.astype(jnp.float32)
+
+        text_latents = l2norm(to_f32(text_embeds @ params["to_text_latent"]["w"]))
+        image_latents = l2norm(to_f32(
+            self._visual_latent(params["to_visual_latent"], image_embeds)))
 
         text_latents_extra, image_latents_extra = text_latents, image_latents
         if self.extra_latent_projection:
-            text_latents_extra = l2norm(text_embeds @ params["to_text_latent_extra"]["w"])
-            image_latents_extra = l2norm(
-                self._visual_latent(params["to_visual_latent_extra"], image_embeds))
+            text_latents_extra = l2norm(to_f32(
+                text_embeds @ params["to_text_latent_extra"]["w"]))
+            image_latents_extra = l2norm(to_f32(
+                self._visual_latent(params["to_visual_latent_extra"], image_embeds)))
 
         if return_latents:
             if self.extra_latent_projection:
                 return text_latents, image_latents, text_latents_extra, image_latents_extra
             return text_latents, image_latents
 
-        temp = jnp.exp(params["temperature"])
+        temp = jnp.exp(params["temperature"].astype(jnp.float32))
 
         # ---- inference scoring (x_clip.py:740-746)
         if not return_loss:

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from .core import embedding_init, linear_init
-from .layers import patch_dropout, transformer_init, transformer_apply
+from .layers import transformer_init, transformer_apply
 
 
 @dataclasses.dataclass(frozen=True)
@@ -79,17 +79,31 @@ class VisionTransformer:
               rng: Optional[jax.Array] = None, training: bool = False,
               attn_impl: str = "xla",
               return_hidden: Optional[int] = None):
-        tokens = self.patchify(x) @ params["patch_proj"]["w"] + params["patch_proj"]["b"]
-        n = tokens.shape[1]
-        tokens = tokens + params["pos_emb"]["emb"][None, :n, :]
-
         rng_pd = rng_tr = None
         if rng is not None:
             rng_pd, rng_tr = jax.random.split(rng)
 
+        patches = self.patchify(x)
+        n = patches.shape[1]
+
         if training and self.patch_dropout > 0.0 and not keep_all_patches:
+            # FLIP patch dropout as a token GATHER BEFORE the patch projection:
+            # the projection and pos-emb add commute with the gather, so this
+            # is numerically identical to the reference's drop-after-pos-emb
+            # (x_clip.py:383-385) while also skipping the dropped patches'
+            # projection FLOPs (the BASELINE.json north-star optimization).
             assert rng_pd is not None, "patch dropout requires an rng during training"
-            tokens = patch_dropout(rng_pd, tokens, self.patch_dropout)
+            b = patches.shape[0]
+            num_keep = max(1, int(n * (1 - self.patch_dropout)))
+            scores = jax.random.uniform(rng_pd, (b, n))
+            _, keep_idx = jax.lax.top_k(scores, num_keep)
+            patches = jnp.take_along_axis(patches, keep_idx[:, :, None], axis=1)
+            pos = jnp.take(params["pos_emb"]["emb"], keep_idx, axis=0)
+            tokens = (patches @ params["patch_proj"]["w"]
+                      + params["patch_proj"]["b"] + pos)
+        else:
+            tokens = patches @ params["patch_proj"]["w"] + params["patch_proj"]["b"]
+            tokens = tokens + params["pos_emb"]["emb"][None, :n, :]
 
         out = transformer_apply(
             params["transformer"], tokens,
