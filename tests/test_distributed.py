@@ -120,6 +120,76 @@ def test_shard_map_filip_gathers_text_mask():
                                atol=1e-6)
 
 
+def _shard_map_loss(clip, text, image, gather_impl="sharded", grad=False):
+    mesh = create_mesh((8,), axis_names=("data",))
+
+    def local_loss(params, t, i):
+        return clip.model.apply(params, t, i, return_loss=True,
+                                axis_name="data", gather_impl=gather_impl)
+
+    fn = shard_map(local_loss, mesh=mesh,
+                   in_specs=(P(), P("data"), P("data")),
+                   out_specs=P(), check_vma=False)
+    if grad:
+        return jax.jit(jax.grad(fn))(clip.params, text, image)
+    return jax.jit(fn)(clip.params, text, image)
+
+
+@pytest.mark.parametrize("gather_impl", ["sharded", "replicated"])
+@pytest.mark.parametrize("over", [
+    dict(),
+    dict(decoupled_contrastive_learning=True, extra_latent_projection=True),
+    dict(sim_reg_loss_weight=0.1, extra_latent_projection=True),
+    dict(use_all_token_embeds=True, extra_latent_projection=True),
+])
+def test_sharded_loss_feature_matrix(gather_impl, over):
+    """Row-sharded (and replicated) distributed losses must equal the
+    single-device global-batch loss across the DCL/CLOOB/sim-reg/FILIP
+    feature matrix."""
+    clip = mock_clip(**over)
+    text, image = global_batch(seed=3)
+    text = text.at[2, 5:].set(0).at[5, 3:].set(0)  # pads across shards
+    loss_global = clip.model.apply(clip.params, text, image, return_loss=True)
+    loss = _shard_map_loss(clip, text, image, gather_impl)
+    np.testing.assert_allclose(float(loss_global), float(loss),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_loss_grads_match_global():
+    """Gradients through the sharded loss (AD through all_gather = psum of
+    the transpose) must equal single-device global-batch gradients."""
+    clip = mock_clip(decoupled_contrastive_learning=True)
+    text, image = global_batch(seed=4)
+    g_single = jax.grad(
+        lambda p: clip.model.apply(p, text, image, return_loss=True)
+    )(clip.params)
+    g_sharded = _shard_map_loss(clip, text, image, grad=True)
+    for a, b in zip(jax.tree.leaves(g_single), jax.tree.leaves(g_sharded)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-5, atol=1e-6)
+
+
+def test_sharded_multiview_loss_matches_global():
+    clip = mock_clip(multiview_loss_weight=0.1)
+    text, image = global_batch(seed=5)
+    aug_text, _ = global_batch(seed=6)
+    _, aug_image = global_batch(seed=7)
+
+    loss_global = clip.model.apply(clip.params, text, image, return_loss=True,
+                                   aug_text=aug_text, aug_image=aug_image)
+
+    mesh = create_mesh((8,), axis_names=("data",))
+    fn = shard_map(
+        lambda p, t, i, at, ai: clip.model.apply(
+            p, t, i, return_loss=True, aug_text=at, aug_image=ai,
+            axis_name="data"),
+        mesh=mesh, in_specs=(P(), P("data"), P("data"), P("data"), P("data")),
+        out_specs=P(), check_vma=False)
+    loss = jax.jit(fn)(clip.params, text, image, aug_text, aug_image)
+    np.testing.assert_allclose(float(loss_global), float(loss),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_train_step_dp_tp_mesh():
     """One optimizer step on a 4×2 (data × model) mesh: tensor-parallel
     params + sharded batch, loss finite, params actually update."""

@@ -151,6 +151,7 @@ class CLIPModel:
               rng: Optional[jax.Array] = None,
               training: Optional[bool] = None,
               axis_name: Optional[str] = None,
+              gather_impl: str = "sharded",
               return_metrics: bool = False):
         training = return_loss if training is None else training
         rngs = RngStream(rng)
@@ -295,7 +296,7 @@ class CLIPModel:
             text_latents_extra=text_latents_extra if self.extra_latent_projection else None,
             image_latents_extra=image_latents_extra if self.extra_latent_projection else None,
             sim_reg=self.sim_reg_loss_weight > 0.0,
-            axis_name=axis_name)
+            axis_name=axis_name, gather_impl=gather_impl)
 
         cl_loss, multiview_cl_loss = cl_losses[0], cl_losses[1:]
 

@@ -34,6 +34,35 @@ import jax.numpy as jnp
 from ..utils import masked_mean, matrix_diag
 
 
+def _infonce_from_blocks(text_to_image: jax.Array, image_to_text: jax.Array,
+                         row_offset: jax.Array, global_batch: int,
+                         decoupled: bool, axis_name: str) -> jax.Array:
+    """Row-sharded InfoNCE: `(v, b_local, B)` sim blocks (already × temp) whose
+    rows are this device's shard of the global batch and whose columns span the
+    full gathered batch. The positive for local row r sits at global column
+    `row_offset + r`. Returns the global-batch-mean `(v,)` CL losses via psum —
+    identical math to the replicated `_infonce_from_sims`, at 1/world_size of
+    the memory per device.
+    """
+    b_local = text_to_image.shape[-2]
+    rows = jnp.arange(b_local)
+    cols = row_offset + rows                                   # global diag idx
+
+    def direction_loss(sims):
+        pos = jnp.take_along_axis(
+            sims, cols[None, :, None], axis=-1)[..., 0]        # (v, b_local)
+        if decoupled:
+            # DCL (x_clip.py:834-836): positive removed from the denominator
+            neg_inf = jnp.finfo(sims.dtype).min
+            hit = jnp.arange(sims.shape[-1])[None, :] == cols[:, None]
+            sims = jnp.where(hit[None], neg_inf, sims)
+        denom = jax.nn.logsumexp(sims, axis=-1)                # (v, b_local)
+        local_sum = (-pos + denom).sum(axis=-1)
+        return jax.lax.psum(local_sum, axis_name) / global_batch
+
+    return (direction_loss(text_to_image) + direction_loss(image_to_text)) / 2
+
+
 def _infonce_from_sims(text_to_image: jax.Array, image_to_text: jax.Array,
                        decoupled: bool) -> jax.Array:
     """(v, b, b) paired sim matrices (already × temp) → (v,) CL losses."""
@@ -58,6 +87,93 @@ def _infonce_from_sims(text_to_image: jax.Array, image_to_text: jax.Array,
     return (t2i_loss + i2t_loss) / 2
 
 
+def _sharded_contrastive_loss(
+    text_latents, image_latents, temp, *,
+    text_mask, use_all_token_embeds, decoupled_contrastive_learning,
+    text_latents_extra, image_latents_extra, sim_reg, axis_name,
+):
+    """Memory-scalable distributed loss: each device keeps its LOCAL latents as
+    similarity-matrix rows and all_gathers only the COLUMN side, computing a
+    `(b_local, B_global)` block per direction instead of the replicated
+    `(B, B)` full matrix. Per-device memory drops from O(B²) to O(B²/world) —
+    this is what makes the 32k-global-batch target (BASELINE.json config 5)
+    fit in v5e HBM. The psum'd row-mean reproduces the replicated math exactly,
+    and JAX AD through all_gather (psum_scatter transpose) yields the same
+    global gradient as the reference's every-rank-computes-the-full-loss
+    scheme (x_clip.py:759-769, distributed.py:41-56).
+    """
+    has_extra = text_latents_extra is not None
+    if not has_extra:
+        text_latents_extra, image_latents_extra = text_latents, image_latents
+
+    m = text_latents.shape[0]
+    b_local = text_latents.shape[1]
+    world = jax.lax.psum(1, axis_name)
+    global_batch = b_local * world
+    row_offset = jax.lax.axis_index(axis_name) * b_local
+
+    gather = lambda x: jax.lax.all_gather(x, axis_name, axis=1, tiled=True)
+
+    # ---- similarity regularization (x_clip.py:773-784), row-sharded ---------
+    sim_reg_loss = jnp.zeros((), dtype=text_latents.dtype)
+    if sim_reg:
+        assert not use_all_token_embeds, \
+            "sim_reg with fine-grained token latents is undefined (text/image " \
+            "token counts differ); the reference path is broken there too"
+        cols_hit = (jnp.arange(global_batch)[None, :]
+                    == (row_offset + jnp.arange(b_local))[:, None])
+        count = global_batch * (global_batch - 1)
+
+        def off_diag_mse(a, b_):  # (m, b_local, d) each; columns gathered
+            d_t = jnp.einsum("mrd,mCd->mrC", a, gather(a))
+            d_i = jnp.einsum("mrd,mCd->mrC", b_, gather(b_))
+            diff2 = jnp.where(cols_hit[None], 0.0, (d_t - d_i) ** 2)
+            return jax.lax.psum(diff2.sum(), axis_name) / (a.shape[0] * count)
+
+        sim_reg_loss = (off_diag_mse(text_latents, image_latents)
+                        + off_diag_mse(text_latents_extra, image_latents_extra)) / 2
+
+    # ---- similarity blocks: local rows × gathered columns -------------------
+    if use_all_token_embeds:
+        # FILIP fine-grained (x_clip.py:797-811). text_mask is the LOCAL
+        # (m·b_local, t) padding mask.
+        assert text_mask is not None, "FILIP loss requires the text padding mask"
+        tmask_local = text_mask.reshape(m, b_local, -1)
+
+        # t2i: rows = local texts, columns = gathered images
+        g_img = gather(image_latents)                      # (n, B, i, d)
+        sim = jnp.einsum("mrtd,nCid->mnrCti", text_latents, g_img) * temp
+        t2i = sim.max(axis=-1)                             # max over image tokens
+        t2i = masked_mean(t2i, tmask_local[:, None, :, None, :], axis=-1)
+
+        # i2t: SAME orientation (rows = local texts, columns = gathered
+        # images) — in the reference's FILIP branch only the token-level
+        # reduction differs between directions (max over text tokens, mean
+        # over image tokens), not the matrix orientation (x_clip.py:809-811)
+        sim2 = sim
+        if has_extra:
+            sim2 = jnp.einsum("mrtd,nCid->mnrCti", text_latents_extra,
+                              gather(image_latents_extra)) * temp
+        neg = -jnp.finfo(sim2.dtype).max
+        masked_sim = jnp.where(tmask_local[:, None, :, None, :, None], sim2, neg)
+        i2t = masked_sim.max(axis=-2).mean(axis=-1)        # max text, mean image
+
+        text_to_image = t2i.reshape(-1, b_local, global_batch)
+        image_to_text = i2t.reshape(-1, b_local, global_batch)
+    else:
+        t2i = jnp.einsum("mrd,nCd->mnrC",
+                         text_latents, gather(image_latents)) * temp
+        i2t = jnp.einsum("nrd,mCd->mnrC",
+                         image_latents_extra, gather(text_latents_extra)) * temp
+        text_to_image = t2i.reshape(-1, b_local, global_batch)
+        image_to_text = i2t.reshape(-1, b_local, global_batch)
+
+    cl_losses = _infonce_from_blocks(
+        text_to_image, image_to_text, row_offset, global_batch,
+        decoupled_contrastive_learning, axis_name)
+    return cl_losses, sim_reg_loss
+
+
 def clip_contrastive_loss(
     text_latents: jax.Array,          # (m, b, d) or (m, b, t, d) for FILIP
     image_latents: jax.Array,         # (n, b, d) or (n, b, i, d) for FILIP
@@ -70,15 +186,32 @@ def clip_contrastive_loss(
     image_latents_extra: Optional[jax.Array] = None,
     sim_reg: bool = False,
     axis_name: Optional[str] = None,
+    gather_impl: str = "sharded",
 ):
     """Returns (cl_losses of shape (m*n,), sim_reg_loss scalar).
 
     `cl_losses[0]` is the main (view-0 × view-0) loss; the rest are multiview
     losses — matching the reference's `(m n)` flattening order
-    (x_clip.py:821-851). When `axis_name` is set, latents (and the FILIP text
-    mask) are all-gathered along that mesh axis so every device computes the
-    full global-batch loss.
+    (x_clip.py:821-851). When `axis_name` is set, cross-device negatives are
+    brought in over that mesh axis; `gather_impl` selects how:
+
+      * "sharded" (default): local rows × all_gathered columns —
+        O(B_local × B_global) per device. The TPU-native scheme; required for
+        the 32k-global-batch config.
+      * "replicated": all_gather both sides and compute the full (B, B) loss
+        on every device — the reference's torch.distributed scheme
+        (x_clip.py:759-769), kept for parity testing.
     """
+    if axis_name is not None and gather_impl == "sharded":
+        return _sharded_contrastive_loss(
+            text_latents, image_latents, temp,
+            text_mask=text_mask,
+            use_all_token_embeds=use_all_token_embeds,
+            decoupled_contrastive_learning=decoupled_contrastive_learning,
+            text_latents_extra=text_latents_extra,
+            image_latents_extra=image_latents_extra,
+            sim_reg=sim_reg, axis_name=axis_name)
+
     has_extra = text_latents_extra is not None
     if not has_extra:
         text_latents_extra, image_latents_extra = text_latents, image_latents
