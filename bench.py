@@ -19,7 +19,8 @@ BASELINE_PAIRS_PER_SEC = 3000.0
 
 
 def run(batch_size=256, steps=20, warmup=3, param_dtype=jnp.float32,
-        attn_impl="xla", compute_dtype="bfloat16", remat=True):
+        attn_impl="xla", compute_dtype="bfloat16", remat=True,
+        remat_policy="dots", loss_impl="xla"):
     from xclip_tpu import CLIP
     from xclip_tpu.train import (create_train_state, default_optimizer,
                                  make_train_step)
@@ -29,8 +30,8 @@ def run(batch_size=256, steps=20, warmup=3, param_dtype=jnp.float32,
         text_enc_depth=6, text_seq_len=256, text_heads=8,
         visual_enc_depth=6, visual_heads=8, visual_image_size=256,
         visual_patch_size=32, visual_patch_dropout=0.5,
-        checkpoint_during_training=remat,
-        attn_impl=attn_impl, param_dtype=param_dtype,
+        checkpoint_during_training=remat, remat_policy=remat_policy,
+        attn_impl=attn_impl, loss_impl=loss_impl, param_dtype=param_dtype,
         compute_dtype=compute_dtype)
 
     optimizer = default_optimizer(learning_rate=1e-4)
@@ -45,18 +46,21 @@ def run(batch_size=256, steps=20, warmup=3, param_dtype=jnp.float32,
     rngs = [jax.random.PRNGKey(i) for i in range(steps + warmup)]
     for i in range(warmup):
         state, metrics = step(state, text, image, rngs[i])
-    jax.block_until_ready((state, metrics))
-
+    float(metrics["loss"])  # hard sync: drain compile + warmup queue
+    # NOTE on timing methodology: the remote-TPU tunnel has ~30ms round-trip
+    # latency and `block_until_ready` does not block on queued remote work,
+    # so per-step host syncs measure latency, not throughput. The donated
+    # train state chains the steps into a sequential device-side dependency
+    # chain; ONE value fetch at the end forces the whole chain, so
+    # elapsed/steps is the true per-step cost (amortizing a single RTT).
     t0 = time.perf_counter()
-    losses = []
     for i in range(steps):
         state, metrics = step(state, text, image, rngs[warmup + i])
-        losses.append(float(metrics["loss"]))  # hard host sync every step
-    jax.block_until_ready(state)
+    last_loss = float(metrics["loss"])
     elapsed = time.perf_counter() - t0
 
     pairs_per_sec = batch_size * steps / elapsed
-    return pairs_per_sec, losses[-1]
+    return pairs_per_sec, last_loss
 
 
 def _is_oom(e: Exception) -> bool:

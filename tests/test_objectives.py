@@ -148,3 +148,67 @@ def test_metrics_breakdown_keys():
                 "multiview_cl_loss", "sim_reg_loss", "temperature"]:
         assert key in metrics
     np.testing.assert_allclose(float(loss), float(metrics["loss"]))
+
+
+def test_bn_running_stats_match_torch():
+    """The sequential-EMA BatchNorm running-stat folding must match
+    torch.nn.BatchNorm1d train-mode updates call-for-call (momentum 0.1,
+    unbiased batch variance)."""
+    from xclip_tpu.nn.core import batch_norm_init
+    from xclip_tpu.objectives.ssl import _bn
+
+    dim, n = 8, 16
+    rng = np.random.RandomState(0)
+    xs = [rng.randn(n, dim).astype(np.float32) for _ in range(3)]
+
+    tbn = torch.nn.BatchNorm1d(dim)
+    tbn.train()
+    outs_t = [tbn(torch.tensor(x)).detach().numpy() for x in xs]
+
+    params = batch_norm_init(dim)
+    updates = {}
+    outs_j = []
+    for x in xs:
+        # each call sees the latest running values, like repeated torch calls
+        live = dict(params)
+        if "bn" in updates:
+            live["mean"], live["var"] = updates["bn"]
+        outs_j.append(np.asarray(_bn(live, jnp.asarray(x), True, updates, "bn")))
+
+    np.testing.assert_allclose(
+        np.asarray(updates["bn"][0]), tbn.running_mean.numpy(),
+        rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(updates["bn"][1]), tbn.running_var.numpy(),
+        rtol=1e-5, atol=1e-6)
+    for a, b in zip(outs_j, outs_t):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_train_step_updates_ssl_bn_stats():
+    """Running stats flow out of the jitted train step and back into the
+    param tree; they start at (0, 1) and must move after one step."""
+    from xclip_tpu import CLIP
+    from xclip_tpu.train import (create_train_state, default_optimizer,
+                                 make_train_step)
+
+    clip = CLIP(dim_text=32, dim_image=32, dim_latent=32, num_text_tokens=50,
+                text_enc_depth=1, text_seq_len=8, text_heads=2, text_dim_head=16,
+                visual_enc_depth=1, visual_heads=2, visual_dim_head=16,
+                visual_image_size=16, visual_patch_size=8,
+                visual_patch_dropout=0.0, use_visual_ssl=True,
+                visual_ssl_type="simclr", visual_ssl_hidden_layer=-1)
+    opt = default_optimizer(learning_rate=1e-3)
+    state = create_train_state(clip.model, jax.random.PRNGKey(0), opt)
+    step = make_train_step(clip.model, opt, donate=False)
+
+    rng = np.random.RandomState(0)
+    text = jnp.asarray(rng.randint(1, 50, (8, 8)))
+    image = jnp.asarray(rng.randn(8, 3, 16, 16).astype(np.float32))
+    new_state, metrics = step(state, text, image, jax.random.PRNGKey(1))
+
+    bn = new_state.params["visual_ssl"]["projector"]["bn1"]
+    assert not np.allclose(np.asarray(bn["mean"]), 0.0)
+    assert not np.allclose(np.asarray(bn["var"]), 1.0)
+    assert "bn_updates" not in metrics
+    assert bool(jnp.isfinite(metrics["loss"]))

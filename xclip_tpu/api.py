@@ -102,6 +102,8 @@ class CLIP:
         key: Optional[jax.Array] = None,
         param_dtype=jnp.float32,
         attn_impl: str = "xla",
+        loss_impl: str = "xla",
+        remat_policy: Optional[str] = None,
         compute_dtype: Optional[str] = None,
         **kwargs,
     ):
@@ -116,6 +118,7 @@ class CLIP:
                 dim_head=text_dim_head,
                 rotary_pos_emb=text_rotary_pos_emb,
                 checkpoint_during_training=checkpoint_during_training,
+                remat_policy=remat_policy,
             )
 
         if image_encoder is None:
@@ -129,6 +132,7 @@ class CLIP:
                 dim_head=visual_dim_head,
                 patch_dropout=visual_patch_dropout,
                 checkpoint_during_training=checkpoint_during_training,
+                remat_policy=remat_policy,
             )
 
         mlm = None
@@ -179,6 +183,7 @@ class CLIP:
             multiview_loss_weight=multiview_loss_weight,
             sim_reg_loss_weight=sim_reg_loss_weight,
             attn_impl=attn_impl,
+            loss_impl=loss_impl,
             compute_dtype=compute_dtype,
         )
 

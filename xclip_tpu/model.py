@@ -72,6 +72,7 @@ class CLIPModel:
     multiview_loss_weight: float = 0.1
     sim_reg_loss_weight: float = 0.0
     attn_impl: str = "xla"
+    loss_impl: str = "xla"               # "fused" = Pallas streaming-LSE InfoNCE
     compute_dtype: Optional[str] = None  # e.g. "bfloat16" for MXU-rate matmuls
 
     def __post_init__(self):
@@ -178,11 +179,14 @@ class CLIPModel:
                 params["mlm"], self.text_encoder, params["text"], text,
                 mask=text_mask, rng=rngs.next(), training=training,
                 attn_impl=self.attn_impl)
+        bn_updates = None
         if return_loss and self.visual_ssl is not None:
             image_ssl_loss = self.visual_ssl.apply(
                 params["visual_ssl"], self.visual_encoder, params["visual"],
                 image, rng=rngs.next(), training=training,
-                attn_impl=self.attn_impl)
+                attn_impl=self.attn_impl, return_bn_updates=return_metrics)
+            if return_metrics:
+                image_ssl_loss, bn_updates = image_ssl_loss
 
         # ---- multiview concat (x_clip.py:629-653)
         num_batch_texts = num_batch_images = 1
@@ -296,7 +300,8 @@ class CLIPModel:
             text_latents_extra=text_latents_extra if self.extra_latent_projection else None,
             image_latents_extra=image_latents_extra if self.extra_latent_projection else None,
             sim_reg=self.sim_reg_loss_weight > 0.0,
-            axis_name=axis_name, gather_impl=gather_impl)
+            axis_name=axis_name, gather_impl=gather_impl,
+            loss_impl=self.loss_impl)
 
         cl_loss, multiview_cl_loss = cl_losses[0], cl_losses[1:]
 
@@ -325,5 +330,10 @@ class CLIPModel:
                 "sim_reg_loss": sim_reg_loss,
                 "temperature": temp,
             }
+            if bn_updates is not None:
+                # SSL-head BatchNorm running stats (torch-exact sequential
+                # EMA) — consumed by the train step, which folds them back
+                # into params["visual_ssl"]
+                metrics["bn_updates"] = {"visual_ssl": bn_updates}
             return loss, metrics
         return loss

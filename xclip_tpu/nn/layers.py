@@ -184,6 +184,7 @@ def transformer_apply(params, x, *, heads: int, dim_head: int,
                       rng: Optional[jax.Array] = None,
                       training: bool = False,
                       checkpoint_during_training: bool = False,
+                      remat_policy: Optional[str] = None,
                       attn_impl: str = "xla",
                       return_hidden: Optional[int] = None):
     """Sandwich-norm transformer. If `return_hidden` is an int, also returns
@@ -213,7 +214,13 @@ def transformer_apply(params, x, *, heads: int, dim_head: int,
         return x, (x if collect_hidden else None)
 
     if training and checkpoint_during_training:
-        block = jax.checkpoint(block)
+        # remat_policy='dots' keeps weight-matmul outputs resident (MXU work
+        # is not recomputed in the backward pass; only cheap elementwise ops
+        # are) while still dropping the big attention score tensors — the
+        # usual TPU sweet spot between memory and recompute FLOPs
+        policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                  if remat_policy == "dots" else None)
+        block = jax.checkpoint(block, policy=policy)
 
     x, hiddens = jax.lax.scan(block, x, (params["layers"], layer_rngs))
     out = layer_norm_apply(params["norm_out"], x)

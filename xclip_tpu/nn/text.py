@@ -39,6 +39,7 @@ class TextTransformer:
     attn_dropout: float = 0.0
     ff_dropout: float = 0.0
     checkpoint_during_training: bool = False
+    remat_policy: Optional[str] = None
 
     @property
     def has_cls_token(self) -> bool:
@@ -86,4 +87,5 @@ class TextTransformer:
             attn_dropout=self.attn_dropout, ff_dropout=self.ff_dropout,
             rng=rng, training=training,
             checkpoint_during_training=self.checkpoint_during_training,
+            remat_policy=self.remat_policy,
             attn_impl=attn_impl)

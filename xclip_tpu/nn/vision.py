@@ -39,6 +39,7 @@ class VisionTransformer:
     attn_dropout: float = 0.0
     ff_dropout: float = 0.0
     checkpoint_during_training: bool = False
+    remat_policy: Optional[str] = None
 
     def __post_init__(self):
         assert self.image_size % self.patch_size == 0, \
@@ -111,6 +112,7 @@ class VisionTransformer:
             attn_dropout=self.attn_dropout, ff_dropout=self.ff_dropout,
             rng=rng_tr, training=training,
             checkpoint_during_training=self.checkpoint_during_training,
+            remat_policy=self.remat_policy,
             attn_impl=attn_impl,
             return_hidden=return_hidden)
         if return_hidden is not None:

@@ -34,6 +34,43 @@ import jax.numpy as jnp
 from ..utils import masked_mean, matrix_diag
 
 
+def _fused_infonce(rows_lat, cols_lat, temp, row_offset, global_batch,
+                   decoupled, axis_name):
+    """One direction's InfoNCE loss via the Pallas streaming-LSE kernel
+    (kernels/fused_infonce.py): the (b, B) similarity block never touches
+    HBM. `rows_lat` (b, d) are this device's rows; `cols_lat` (B, d) the
+    (gathered) columns; positives sit at column `row_offset + r`."""
+    from ..kernels.fused_infonce import streaming_lse
+
+    xs = rows_lat * temp           # keeps d(loss)/d(temperature) in JAX AD
+    lse = streaming_lse(xs, cols_lat, row_offset, decoupled)
+    pos_idx = row_offset + jnp.arange(xs.shape[0])
+    pos = jnp.einsum("bd,bd->b", xs, jnp.take(cols_lat, pos_idx, axis=0))
+    total = (-pos + lse).sum()
+    if axis_name is not None:
+        total = jax.lax.psum(total, axis_name)
+    return total / global_batch
+
+
+def _fused_pair_losses(text_latents, image_latents, text_latents_extra,
+                       image_latents_extra, temp, row_offset, global_batch,
+                       decoupled, axis_name, gather):
+    """All (m × n) view-pair CL losses through the fused kernel, matching the
+    reference's (m n) flattening order (x_clip.py:821-847). The i2t direction
+    uses the extra latents (which alias the mains when CLOOB is off)."""
+    g_img = gather(image_latents)
+    g_txt = gather(text_latents_extra)
+    cl = []
+    for mi in range(text_latents.shape[0]):
+        for ni in range(image_latents.shape[0]):
+            t2i = _fused_infonce(text_latents[mi], g_img[ni], temp,
+                                 row_offset, global_batch, decoupled, axis_name)
+            i2t = _fused_infonce(image_latents_extra[ni], g_txt[mi], temp,
+                                 row_offset, global_batch, decoupled, axis_name)
+            cl.append((t2i + i2t) / 2)
+    return jnp.stack(cl)
+
+
 def _infonce_from_blocks(text_to_image: jax.Array, image_to_text: jax.Array,
                          row_offset: jax.Array, global_batch: int,
                          decoupled: bool, axis_name: str) -> jax.Array:
@@ -91,6 +128,7 @@ def _sharded_contrastive_loss(
     text_latents, image_latents, temp, *,
     text_mask, use_all_token_embeds, decoupled_contrastive_learning,
     text_latents_extra, image_latents_extra, sim_reg, axis_name,
+    loss_impl="xla",
 ):
     """Memory-scalable distributed loss: each device keeps its LOCAL latents as
     similarity-matrix rows and all_gathers only the COLUMN side, computing a
@@ -161,6 +199,12 @@ def _sharded_contrastive_loss(
         text_to_image = t2i.reshape(-1, b_local, global_batch)
         image_to_text = i2t.reshape(-1, b_local, global_batch)
     else:
+        if loss_impl == "fused":
+            cl_losses = _fused_pair_losses(
+                text_latents, image_latents, text_latents_extra,
+                image_latents_extra, temp, row_offset, global_batch,
+                decoupled_contrastive_learning, axis_name, gather)
+            return cl_losses, sim_reg_loss
         t2i = jnp.einsum("mrd,nCd->mnrC",
                          text_latents, gather(image_latents)) * temp
         i2t = jnp.einsum("nrd,mCd->mnrC",
@@ -187,6 +231,7 @@ def clip_contrastive_loss(
     sim_reg: bool = False,
     axis_name: Optional[str] = None,
     gather_impl: str = "sharded",
+    loss_impl: str = "xla",
 ):
     """Returns (cl_losses of shape (m*n,), sim_reg_loss scalar).
 
@@ -210,7 +255,7 @@ def clip_contrastive_loss(
             decoupled_contrastive_learning=decoupled_contrastive_learning,
             text_latents_extra=text_latents_extra,
             image_latents_extra=image_latents_extra,
-            sim_reg=sim_reg, axis_name=axis_name)
+            sim_reg=sim_reg, axis_name=axis_name, loss_impl=loss_impl)
 
     has_extra = text_latents_extra is not None
     if not has_extra:
@@ -272,6 +317,12 @@ def clip_contrastive_loss(
         text_to_image = t2i.reshape(-1, batch, batch)
         image_to_text = i2t.reshape(-1, batch, batch)
     else:
+        if loss_impl == "fused":
+            cl_losses = _fused_pair_losses(
+                text_latents, image_latents, text_latents_extra,
+                image_latents_extra, temp, 0, batch,
+                decoupled_contrastive_learning, None, lambda x: x)
+            return cl_losses, sim_reg_loss
         t2i = jnp.einsum("mtd,nid->mnti", text_latents, image_latents) * temp
         i2t = jnp.swapaxes(t2i, -1, -2)
         if has_extra:

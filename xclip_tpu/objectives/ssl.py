@@ -50,9 +50,27 @@ def mlp_init(key, dim, projection_size, hidden_size=None, dtype=jnp.float32):
     }
 
 
-def mlp_apply(params, x, training=True):
+def _bn(params_bn, x, training, updates, key):
+    """BatchNorm + torch-exact running-stat tracking. `updates` (or None)
+    maps flat keys to the latest (mean, var) running values; repeated calls
+    through the same BN layer fold sequentially with momentum 0.1 and
+    UNBIASED batch variance, exactly like torch.nn.BatchNorm1d train-mode
+    forwards (including the reference's no_grad target passes, which still
+    update stats)."""
+    out, (mean, var) = batch_norm_apply(params_bn, x, training)
+    if updates is not None and training:
+        prev_mean, prev_var = updates.get(
+            key, (params_bn["mean"], params_bn["var"]))
+        n = x.shape[0]
+        unbiased = var * (n / max(n - 1, 1))
+        updates[key] = (0.9 * prev_mean + 0.1 * mean,
+                        0.9 * prev_var + 0.1 * unbiased)
+    return out
+
+
+def mlp_apply(params, x, training=True, updates=None, prefix=""):
     x = x @ params["l1"]["w"] + params["l1"]["b"]
-    x, _ = batch_norm_apply(params["bn1"], x, training)
+    x = _bn(params["bn1"], x, training, updates, prefix + "bn1")
     x = jax.nn.relu(x)
     return x @ params["l2"]["w"] + params["l2"]["b"]
 
@@ -69,16 +87,28 @@ def simsiam_mlp_init(key, dim, projection_size, hidden_size=4096, dtype=jnp.floa
     }
 
 
-def simsiam_mlp_apply(params, x, training=True):
+def simsiam_mlp_apply(params, x, training=True, updates=None, prefix=""):
     x = x @ params["l1"]["w"]
-    x, _ = batch_norm_apply(params["bn1"], x, training)
+    x = _bn(params["bn1"], x, training, updates, prefix + "bn1")
     x = jax.nn.relu(x)
     x = x @ params["l2"]["w"]
-    x, _ = batch_norm_apply(params["bn2"], x, training)
+    x = _bn(params["bn2"], x, training, updates, prefix + "bn2")
     x = jax.nn.relu(x)
     x = x @ params["l3"]["w"]
-    x, _ = batch_norm_apply(params["bn3"], x, training)
+    x = _bn(params["bn3"], x, training, updates, prefix + "bn3")
     return x
+
+
+def _updates_to_tree(updates):
+    """Flat {'projector/bn1': (mean, var)} → params-shaped nested subtree."""
+    tree = {}
+    for key, (mean, var) in updates.items():
+        node = tree
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = {"mean": mean, "var": var}
+    return tree
 
 
 # --------------------------------------------------------------------------
@@ -145,20 +175,29 @@ class SimSiam:
         }
 
     def apply(self, params, encoder, enc_params, x, *, rng, training=True,
-              attn_impl="xla"):
+              attn_impl="xla", return_bn_updates=False):
         ka1, ka2, ke1, ke2, ke3, ke4 = jax.random.split(rng, 6)
         aug1, aug2 = self._augments()
         image_one, image_two = aug1(ka1, x), aug2(ka2, x)
 
+        # BN running-stat updates fold sequentially in the reference's
+        # forward order (visual_ssl.py:242-253): online proj ×2, predictor
+        # ×2, then the no_grad target proj ×2 (torch no_grad does NOT
+        # suppress BN stat updates)
+        updates = {} if return_bn_updates else None
+
         def proj(img, k):
             rep = get_representation(encoder, enc_params, img, self.hidden_layer,
                                      rng=k, training=training, attn_impl=attn_impl)
-            return simsiam_mlp_apply(params["projector"], rep, training)
+            return simsiam_mlp_apply(params["projector"], rep, training,
+                                     updates, "projector/")
 
         online_one = proj(image_one, ke1)
         online_two = proj(image_two, ke2)
-        pred_one = mlp_apply(params["predictor"], online_one, training)
-        pred_two = mlp_apply(params["predictor"], online_two, training)
+        pred_one = mlp_apply(params["predictor"], online_one, training,
+                             updates, "predictor/")
+        pred_two = mlp_apply(params["predictor"], online_two, training,
+                             updates, "predictor/")
 
         # stop-gradient targets, fresh encoder passes (fresh patch-dropout
         # draws) like the reference's no_grad re-forward (visual_ssl.py:248-253)
@@ -169,7 +208,10 @@ class SimSiam:
             return 2.0 - 2.0 * (l2norm(a) * l2norm(b)).sum(axis=-1)
 
         loss = neg_cos(pred_one, target_two) + neg_cos(pred_two, target_one)
-        return loss.mean()
+        loss = loss.mean()
+        if return_bn_updates:
+            return loss, jax.lax.stop_gradient(_updates_to_tree(updates))
+        return loss
 
 
 # --------------------------------------------------------------------------
@@ -209,7 +251,7 @@ class SimCLR:
                                               4096, dtype)}
 
     def apply(self, params, encoder, enc_params, x, *, rng, training=True,
-              attn_impl="xla"):
+              attn_impl="xla", return_bn_updates=False):
         ka1, ka2, ke1, ke2 = jax.random.split(rng, 4)
         aug = self.augment_fn or (
             lambda k, im: default_augment(k, im, self.image_size, self.channels))
@@ -217,11 +259,17 @@ class SimCLR:
         one = aug(ka1, x) if self.augment_both else x       # noop fix (§2.7.3)
         two = aug(ka2, x)
 
+        updates = {} if return_bn_updates else None
+
         def proj(img, k):
             rep = get_representation(encoder, enc_params, img, self.hidden_layer,
                                      rng=k, training=training, attn_impl=attn_impl)
-            return simsiam_mlp_apply(params["projector"], rep, training)
+            return simsiam_mlp_apply(params["projector"], rep, training,
+                                     updates, "projector/")
 
         queries = proj(one, ke1)
         keys = proj(two, ke2)
-        return nt_xent_loss(queries, keys, self.temperature)
+        loss = nt_xent_loss(queries, keys, self.temperature)
+        if return_bn_updates:
+            return loss, jax.lax.stop_gradient(_updates_to_tree(updates))
+        return loss

@@ -39,6 +39,21 @@ def create_train_state(model, key, optimizer, dtype=jnp.float32) -> TrainState:
                       step=jnp.zeros((), dtype=jnp.int32))
 
 
+def _merge_bn_stats(params, bn_updates):
+    """Overwrite BatchNorm running-stat leaves with their new EMA values.
+    `bn_updates` is a sparse subtree of the param tree holding only
+    {..., 'bnN': {'mean': ..., 'var': ...}} nodes."""
+    def merge(dst, src):
+        out = dict(dst)
+        for k, v in src.items():
+            if isinstance(v, dict) and isinstance(dst.get(k), dict):
+                out[k] = merge(dst[k], v)
+            else:
+                out[k] = v.astype(dst[k].dtype)
+        return out
+    return merge(params, bn_updates)
+
+
 def make_train_step(model, optimizer, *, donate: bool = True):
     """Returns `step(state, text, image, rng) -> (state, metrics)` (jitted).
 
@@ -58,6 +73,12 @@ def make_train_step(model, optimizer, *, donate: bool = True):
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = dict(metrics)
+        bn_updates = metrics.pop("bn_updates", None)
+        if bn_updates is not None:
+            # fold SSL-head BatchNorm running stats back into the param tree
+            # (they carry zero gradient; the EMA from the forward replaces
+            # whatever the optimizer left there), preserving stored dtype
+            params = _merge_bn_stats(params, bn_updates)
         metrics["grad_norm"] = optax.global_norm(grads)
         new_state = TrainState(params=params, opt_state=opt_state,
                                step=state.step + 1)
