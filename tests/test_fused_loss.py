@@ -118,3 +118,45 @@ def test_fused_sharded_loss_matches_global():
         out_specs=P(), check_vma=False)
     loss = jax.jit(fn)(params, text, image)
     np.testing.assert_allclose(float(loss_global), float(loss), rtol=1e-5)
+
+
+@pytest.mark.parametrize("extra", [False, True])
+def test_filip_blocked_matches_dense(extra):
+    """Column-blocked FILIP reductions (peak memory O(b·block·t·i)) must
+    reproduce the dense einsum path exactly, local and sharded."""
+    over = dict(use_all_token_embeds=True, extra_latent_projection=extra)
+    kw = dict(dim_text=32, dim_image=32, dim_latent=32, num_text_tokens=50,
+              text_enc_depth=1, text_seq_len=8, text_heads=2, text_dim_head=16,
+              visual_enc_depth=1, visual_heads=2, visual_dim_head=16,
+              visual_image_size=16, visual_patch_size=8,
+              visual_patch_dropout=0.0, **over)
+    clip_d = CLIP(**kw)
+    clip_b = CLIP(filip_block=4, **kw)
+    params = clip_d.params
+
+    rng = np.random.RandomState(0)
+    text = jnp.asarray(rng.randint(1, 50, (8, 8)))
+    text = text.at[2, 5:].set(0).at[5, 3:].set(0)
+    image = jnp.asarray(rng.randn(8, 3, 16, 16).astype(np.float32))
+
+    ld = clip_d.model.apply(params, text, image, return_loss=True)
+    lb = clip_b.model.apply(params, text, image, return_loss=True)
+    np.testing.assert_allclose(float(ld), float(lb), rtol=1e-5)
+
+    gd = jax.grad(lambda p: clip_d.model.apply(p, text, image,
+                                               return_loss=True))(params)
+    gb = jax.grad(lambda p: clip_b.model.apply(p, text, image,
+                                               return_loss=True))(params)
+    for a, b in zip(jax.tree.leaves(gd), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-6)
+
+    if len(jax.devices()) >= 8:
+        mesh = create_mesh((8,), axis_names=("data",))
+        fn = shard_map(
+            lambda p, t, i: clip_b.model.apply(p, t, i, return_loss=True,
+                                               axis_name="data"),
+            mesh=mesh, in_specs=(P(), P("data"), P("data")),
+            out_specs=P(), check_vma=False)
+        ls = jax.jit(fn)(params, text, image)
+        np.testing.assert_allclose(float(ld), float(ls), rtol=1e-5)

@@ -103,6 +103,7 @@ class CLIP:
         param_dtype=jnp.float32,
         attn_impl: str = "xla",
         loss_impl: str = "xla",
+        filip_block: Optional[int] = None,
         remat_policy: Optional[str] = None,
         compute_dtype: Optional[str] = None,
         **kwargs,
@@ -184,6 +185,7 @@ class CLIP:
             sim_reg_loss_weight=sim_reg_loss_weight,
             attn_impl=attn_impl,
             loss_impl=loss_impl,
+            filip_block=filip_block,
             compute_dtype=compute_dtype,
         )
 

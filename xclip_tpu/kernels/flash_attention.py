@@ -95,7 +95,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
         l = jnp.maximum(l_scr[:], 1e-30)
         o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
         m_fin = jnp.where(m_scr[:] == _NEG_INF, 0.0, m_scr[:])
-        lse_ref[0] = (m_fin + jnp.log(l))[:, 0]
+        lse_ref[0] = m_fin + jnp.log(l)
 
 
 def _flash_forward(q, k, v, mask, causal, block_q, block_k, interpret):
@@ -114,11 +114,11 @@ def _flash_forward(q, k, v, mask, causal, block_q, block_k, interpret):
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_q), lambda b, i, j: (b, i)),
+            pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, n, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, n), jnp.float32),
+            jax.ShapeDtypeStruct((bh, n, 1), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -142,10 +142,10 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
     q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
     s = _dot(q, k, trans_b=True)
     valid = _valid_mask(mask_ref[0], s.shape, qi, ki, block_q, block_k, causal)
-    p = jnp.where(valid, jnp.exp(s - lse_ref[0][:, None]), 0.0)
+    p = jnp.where(valid, jnp.exp(s - lse_ref[0]), 0.0)
 
     dp = _dot(do, v, trans_b=True)                    # (bq, bk)
-    ds = p * (dp - delta_ref[0][:, None])
+    ds = p * (dp - delta_ref[0])
     acc_scr[:] += _dot(ds.astype(k.dtype), k)
 
     @pl.when(ki == num_k_blocks - 1)
@@ -166,11 +166,11 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
     q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
     s = _dot(q, k, trans_b=True)                      # (bq, bk)
     valid = _valid_mask(mask_ref[0], s.shape, qi, ji, block_q, block_k, causal)
-    p = jnp.where(valid, jnp.exp(s - lse_ref[0][:, None]), 0.0)
+    p = jnp.where(valid, jnp.exp(s - lse_ref[0]), 0.0)
 
     dv_scr[:] += _dot(p.astype(do.dtype).T, do)
     dp = _dot(do, v, trans_b=True)
-    ds = p * (dp - delta_ref[0][:, None])
+    ds = p * (dp - delta_ref[0])
     dk_scr[:] += _dot(ds.astype(q.dtype).T, q)
 
     @pl.when(qi == num_q_blocks - 1)
@@ -183,7 +183,8 @@ def _flash_backward(q, k, v, mask, out, lse, do, causal, block_q, block_k,
                     interpret):
     bh, n, d = q.shape
     nq, nk = n // block_q, n // block_k
-    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1, keepdims=True)                    # (bh, n, 1)
 
     dq_kernel = functools.partial(_bwd_dq_kernel, causal=causal,
                                   block_q=block_q, block_k=block_k,
@@ -197,8 +198,8 @@ def _flash_backward(q, k, v, mask, out, lse, do, causal, block_q, block_k,
             pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, 1, block_k), lambda b, i, j: (b, 0, j)),
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_q), lambda b, i, j: (b, i)),
-            pl.BlockSpec((1, block_q), lambda b, i, j: (b, i)),
+            pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
@@ -218,8 +219,8 @@ def _flash_backward(q, k, v, mask, out, lse, do, causal, block_q, block_k,
             pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
             pl.BlockSpec((1, 1, block_k), lambda b, j, i: (b, 0, j)),
             pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),
-            pl.BlockSpec((1, block_q), lambda b, j, i: (b, i)),
-            pl.BlockSpec((1, block_q), lambda b, j, i: (b, i)),
+            pl.BlockSpec((1, block_q, 1), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, j, i: (b, i, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
@@ -292,7 +293,8 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     key_valid = mask if mask is not None else jnp.ones((b, n), dtype=bool)
     key_valid = jnp.pad(key_valid, ((0, 0), (0, n_pad - n)))
     key_valid = jnp.repeat(key_valid[:, None, :], h, axis=1)
-    key_valid = key_valid.reshape(b * h, 1, n_pad).astype(jnp.int8)
+    # int32: Mosaic on v5e cannot vector-compare int8 operands
+    key_valid = key_valid.reshape(b * h, 1, n_pad).astype(jnp.int32)
 
     out = _flash_core(qp, kp, vp, key_valid, causal, block_q, block_k,
                       interpret)

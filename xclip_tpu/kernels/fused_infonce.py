@@ -88,7 +88,7 @@ def _lse_kernel(off_ref, x_ref, y_ref, lse_ref, m_scr, l_scr, *,
     @pl.when(ci == num_c_blocks - 1)
     def _finalize():
         m_fin = jnp.where(m_scr[:] == _NEG_INF, 0.0, m_scr[:])
-        lse_ref[...] = (m_fin + jnp.log(jnp.maximum(l_scr[:], 1e-30)))[:, 0]
+        lse_ref[...] = m_fin + jnp.log(jnp.maximum(l_scr[:], 1e-30))
 
 
 def _lse_forward(x, y, row_offset, num_cols, decoupled, block_r, block_c,
@@ -106,8 +106,8 @@ def _lse_forward(x, y, row_offset, num_cols, decoupled, block_r, block_c,
             pl.BlockSpec((block_r, d), lambda i, j: (i, 0)),
             pl.BlockSpec((block_c, d), lambda i, j: (j, 0)),
         ],
-        out_specs=pl.BlockSpec((block_r,), lambda i, j: (i,)),
-        out_shape=jax.ShapeDtypeStruct((r_pad,), jnp.float32),
+        out_specs=pl.BlockSpec((block_r, 1), lambda i, j: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((r_pad, 1), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((block_r, 1), jnp.float32),
             pltpu.VMEM((block_r, 1), jnp.float32),
@@ -129,12 +129,12 @@ def _dx_kernel(off_ref, x_ref, y_ref, lse_ref, dlse_ref, dx_ref, acc_scr, *,
     s = _dot(x_ref[...], y_ref[...], trans_b=True)
     valid = _tile_valid(s.shape, ri, ci, block_r, block_c, off_ref[0],
                         num_cols, decoupled)
-    p = jnp.where(valid, jnp.exp(s - lse_ref[...][:, None]), 0.0)
+    p = jnp.where(valid, jnp.exp(s - lse_ref[...]), 0.0)
     acc_scr[:] += _dot(p, y_ref[...])
 
     @pl.when(ci == num_c_blocks - 1)
     def _finalize():
-        dx_ref[...] = acc_scr[:] * dlse_ref[...][:, None]
+        dx_ref[...] = acc_scr[:] * dlse_ref[...]
 
 
 def _dy_kernel(off_ref, x_ref, y_ref, lse_ref, dlse_ref, dy_ref, acc_scr, *,
@@ -148,8 +148,8 @@ def _dy_kernel(off_ref, x_ref, y_ref, lse_ref, dlse_ref, dy_ref, acc_scr, *,
     s = _dot(x_ref[...], y_ref[...], trans_b=True)        # (br, bc)
     valid = _tile_valid(s.shape, ri, ci, block_r, block_c, off_ref[0],
                         num_cols, decoupled)
-    p = jnp.where(valid, jnp.exp(s - lse_ref[...][:, None]), 0.0)
-    xw = x_ref[...] * dlse_ref[...][:, None]              # (br, d)
+    p = jnp.where(valid, jnp.exp(s - lse_ref[...]), 0.0)
+    xw = x_ref[...] * dlse_ref[...]              # (br, d)
     # acc += pᵀ @ xw  (contract the row dim)
     acc_scr[:] += jax.lax.dot_general(
         p, xw, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
@@ -174,8 +174,8 @@ def _lse_backward(x, y, lse, dlse, row_offset, num_cols, decoupled, block_r,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((block_r, d), lambda i, j: (i, 0)),
             pl.BlockSpec((block_c, d), lambda i, j: (j, 0)),
-            pl.BlockSpec((block_r,), lambda i, j: (i,)),
-            pl.BlockSpec((block_r,), lambda i, j: (i,)),
+            pl.BlockSpec((block_r, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((block_r, 1), lambda i, j: (i, 0)),
         ],
         out_specs=pl.BlockSpec((block_r, d), lambda i, j: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((r_pad, d), jnp.float32),
@@ -192,8 +192,8 @@ def _lse_backward(x, y, lse, dlse, row_offset, num_cols, decoupled, block_r,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((block_r, d), lambda j, i: (i, 0)),
             pl.BlockSpec((block_c, d), lambda j, i: (j, 0)),
-            pl.BlockSpec((block_r,), lambda j, i: (i,)),
-            pl.BlockSpec((block_r,), lambda j, i: (i,)),
+            pl.BlockSpec((block_r, 1), lambda j, i: (i, 0)),
+            pl.BlockSpec((block_r, 1), lambda j, i: (i, 0)),
         ],
         out_specs=pl.BlockSpec((block_c, d), lambda j, i: (j, 0)),
         out_shape=jax.ShapeDtypeStruct((c_pad, d), jnp.float32),
@@ -237,7 +237,7 @@ def _streaming_lse_fwd(x, y, row_offset, decoupled, block_r, block_c,
     off = jnp.asarray(row_offset, jnp.int32).reshape(1)
     lse_pad = _lse_forward(x32, y32, off, c, decoupled, block_r, block_c,
                            interpret)
-    return lse_pad[:r], (x, y, lse_pad, off)
+    return lse_pad[:r, 0], (x, y, lse_pad, off)
 
 
 def _streaming_lse_bwd(decoupled, block_r, block_c, interpret, res, dlse):
@@ -253,7 +253,7 @@ def _streaming_lse_bwd(decoupled, block_r, block_c, interpret, res, dlse):
     y32 = jnp.pad(y.astype(jnp.float32),
                   ((0, _round_up(c, block_c) - c), (0, 0)))
     dlse_pad = jnp.pad(dlse.astype(jnp.float32),
-                       (0, _round_up(r, block_r) - r))
+                       (0, _round_up(r, block_r) - r))[:, None]
     dx, dy = _lse_backward(x32, y32, lse_pad, dlse_pad, off, c, decoupled,
                            block_r, block_c, interpret)
     return dx[:r].astype(x.dtype), dy[:c].astype(y.dtype), None

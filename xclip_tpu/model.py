@@ -73,6 +73,7 @@ class CLIPModel:
     sim_reg_loss_weight: float = 0.0
     attn_impl: str = "xla"
     loss_impl: str = "xla"               # "fused" = Pallas streaming-LSE InfoNCE
+    filip_block: Optional[int] = None    # column-blocked FILIP reductions
     compute_dtype: Optional[str] = None  # e.g. "bfloat16" for MXU-rate matmuls
 
     def __post_init__(self):
@@ -211,10 +212,11 @@ class CLIPModel:
 
         # ---- encode text
         enc_mask = None if self.text_encode_without_mask else text_mask
-        enc_text = self.text_encoder.apply(
-            params["text"], text, enc_mask,
-            rng=rngs.next() if rng is not None else None,
-            training=training, attn_impl=self.attn_impl)
+        with jax.named_scope("text_tower"):
+            enc_text = self.text_encoder.apply(
+                params["text"], text, enc_mask,
+                rng=rngs.next() if rng is not None else None,
+                training=training, attn_impl=self.attn_impl)
         if freeze_text_encoder:
             enc_text = jax.lax.stop_gradient(enc_text)
 
@@ -231,10 +233,11 @@ class CLIPModel:
             enc_text = jnp.concatenate([eos_tokens, rest_tokens], axis=1)
 
         # ---- encode image
-        enc_image = self.visual_encoder.apply(
-            params["visual"], image,
-            rng=rngs.next() if rng is not None else None,
-            training=training, attn_impl=self.attn_impl)
+        with jax.named_scope("vision_tower"):
+            enc_image = self.visual_encoder.apply(
+                params["visual"], image,
+                rng=rngs.next() if rng is not None else None,
+                training=training, attn_impl=self.attn_impl)
         if freeze_image_encoder:
             enc_image = jax.lax.stop_gradient(enc_image)
 
@@ -292,16 +295,17 @@ class CLIPModel:
             text_latents_extra = split_views(text_latents_extra, num_batch_texts)
             image_latents_extra = split_views(image_latents_extra, num_batch_images)
 
-        cl_losses, sim_reg_loss = clip_contrastive_loss(
-            text_latents, image_latents, temp,
-            text_mask=text_mask if self.use_all_token_embeds else None,
-            use_all_token_embeds=self.use_all_token_embeds,
-            decoupled_contrastive_learning=self.decoupled_contrastive_learning,
-            text_latents_extra=text_latents_extra if self.extra_latent_projection else None,
-            image_latents_extra=image_latents_extra if self.extra_latent_projection else None,
-            sim_reg=self.sim_reg_loss_weight > 0.0,
-            axis_name=axis_name, gather_impl=gather_impl,
-            loss_impl=self.loss_impl)
+        with jax.named_scope("contrastive_loss"):
+            cl_losses, sim_reg_loss = clip_contrastive_loss(
+                text_latents, image_latents, temp,
+                text_mask=text_mask if self.use_all_token_embeds else None,
+                use_all_token_embeds=self.use_all_token_embeds,
+                decoupled_contrastive_learning=self.decoupled_contrastive_learning,
+                text_latents_extra=text_latents_extra if self.extra_latent_projection else None,
+                image_latents_extra=image_latents_extra if self.extra_latent_projection else None,
+                sim_reg=self.sim_reg_loss_weight > 0.0,
+                axis_name=axis_name, gather_impl=gather_impl,
+                loss_impl=self.loss_impl, filip_block=self.filip_block)
 
         cl_loss, multiview_cl_loss = cl_losses[0], cl_losses[1:]
 

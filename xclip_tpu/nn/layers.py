@@ -205,12 +205,15 @@ def transformer_apply(params, x, *, heads: int, dim_head: int,
     def block(x, layer):
         p, lrng = layer
         rngs = RngStream(lrng) if needs_dropout_rng else None
-        x = attention_apply(
-            p["attn"], x, heads=heads, dim_head=dim_head, causal=causal,
-            mask=mask, rotary=rotary, attn_dropout=attn_dropout,
-            rngs=rngs, training=training, attn_impl=attn_impl) + x
-        x = feed_forward_apply(
-            p["ff"], x, ff_dropout=ff_dropout, rngs=rngs, training=training) + x
+        with jax.named_scope("attention"):
+            x = attention_apply(
+                p["attn"], x, heads=heads, dim_head=dim_head, causal=causal,
+                mask=mask, rotary=rotary, attn_dropout=attn_dropout,
+                rngs=rngs, training=training, attn_impl=attn_impl) + x
+        with jax.named_scope("feed_forward"):
+            x = feed_forward_apply(
+                p["ff"], x, ff_dropout=ff_dropout, rngs=rngs,
+                training=training) + x
         return x, (x if collect_hidden else None)
 
     if training and checkpoint_during_training:

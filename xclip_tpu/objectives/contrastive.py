@@ -71,6 +71,38 @@ def _fused_pair_losses(text_latents, image_latents, text_latents_extra,
     return jnp.stack(cl)
 
 
+def _filip_sims_blocked(text_tok, img_tok, tmask, temp, block):
+    """FILIP similarity matrices without materializing the O(b·B·t·i) score
+    tensor: `lax.scan` over blocks of the (gathered) image column axis, each
+    step reducing its (b, block, t, i) tile straight down to (b, block) —
+    peak memory O(b·block·t·i) instead of O(b·B·t·i).
+
+    text_tok: (b, t, d)   rows (local texts)
+    img_tok:  (B, i, d)   columns (all images)
+    tmask:    (b, t)      text padding mask
+    Returns (t2i, i2t) each (b, B), matching the dense reductions
+    (x_clip.py:797-811): t2i = masked-mean over t of max over i;
+    i2t = mean over i of max over (mask-filled) t.
+    """
+    B = img_tok.shape[0]
+    assert B % block == 0, "gathered batch must divide the FILIP block size"
+    neg = -jnp.finfo(text_tok.dtype).max
+
+    img_blocks = img_tok.reshape(B // block, block, *img_tok.shape[1:])
+
+    def step(_, y_blk):
+        sim = jnp.einsum("xtd,yid->xyti", text_tok, y_blk) * temp
+        t2i_blk = masked_mean(sim.max(axis=-1), tmask[:, None, :], axis=-1)
+        masked = jnp.where(tmask[:, None, :, None], sim, neg)
+        i2t_blk = masked.max(axis=-2).mean(axis=-1)
+        return None, (t2i_blk, i2t_blk)                    # (b, block) each
+
+    _, (t2i, i2t) = jax.lax.scan(step, None, img_blocks)
+    # (B//block, b, block) -> (b, B)
+    return (jnp.moveaxis(t2i, 0, 1).reshape(text_tok.shape[0], B),
+            jnp.moveaxis(i2t, 0, 1).reshape(text_tok.shape[0], B))
+
+
 def _infonce_from_blocks(text_to_image: jax.Array, image_to_text: jax.Array,
                          row_offset: jax.Array, global_batch: int,
                          decoupled: bool, axis_name: str) -> jax.Array:
@@ -128,7 +160,7 @@ def _sharded_contrastive_loss(
     text_latents, image_latents, temp, *,
     text_mask, use_all_token_embeds, decoupled_contrastive_learning,
     text_latents_extra, image_latents_extra, sim_reg, axis_name,
-    loss_impl="xla",
+    loss_impl="xla", filip_block=None,
 ):
     """Memory-scalable distributed loss: each device keeps its LOCAL latents as
     similarity-matrix rows and all_gathers only the COLUMN side, computing a
@@ -177,6 +209,26 @@ def _sharded_contrastive_loss(
         # (m·b_local, t) padding mask.
         assert text_mask is not None, "FILIP loss requires the text padding mask"
         tmask_local = text_mask.reshape(m, b_local, -1)
+
+        if filip_block is not None:
+            g_img = gather(image_latents)
+            g_img_x = gather(image_latents_extra) if has_extra else g_img
+            t2i_rows, i2t_rows = [], []
+            for mi in range(m):
+                for ni in range(image_latents.shape[0]):
+                    t2i_b, i2t_b = _filip_sims_blocked(
+                        text_latents[mi], g_img[ni], tmask_local[mi], temp,
+                        filip_block)
+                    if has_extra:
+                        _, i2t_b = _filip_sims_blocked(
+                            text_latents_extra[mi], g_img_x[ni],
+                            tmask_local[mi], temp, filip_block)
+                    t2i_rows.append(t2i_b)
+                    i2t_rows.append(i2t_b)
+            cl_losses = _infonce_from_blocks(
+                jnp.stack(t2i_rows), jnp.stack(i2t_rows), row_offset,
+                global_batch, decoupled_contrastive_learning, axis_name)
+            return cl_losses, sim_reg_loss
 
         # t2i: rows = local texts, columns = gathered images
         g_img = gather(image_latents)                      # (n, B, i, d)
@@ -232,6 +284,7 @@ def clip_contrastive_loss(
     axis_name: Optional[str] = None,
     gather_impl: str = "sharded",
     loss_impl: str = "xla",
+    filip_block: Optional[int] = None,
 ):
     """Returns (cl_losses of shape (m*n,), sim_reg_loss scalar).
 
@@ -255,7 +308,8 @@ def clip_contrastive_loss(
             decoupled_contrastive_learning=decoupled_contrastive_learning,
             text_latents_extra=text_latents_extra,
             image_latents_extra=image_latents_extra,
-            sim_reg=sim_reg, axis_name=axis_name, loss_impl=loss_impl)
+            sim_reg=sim_reg, axis_name=axis_name, loss_impl=loss_impl,
+            filip_block=filip_block)
 
     has_extra = text_latents_extra is not None
     if not has_extra:
@@ -296,6 +350,25 @@ def clip_contrastive_loss(
 
     # ---- similarity matrices ----------------------------------------------
     if use_all_token_embeds:
+        if filip_block is not None:
+            tmask = text_mask.reshape(num_batch_texts, batch, -1)
+            t2i_rows, i2t_rows = [], []
+            for mi in range(num_batch_texts):
+                for ni in range(image_latents.shape[0]):
+                    t2i_b, i2t_b = _filip_sims_blocked(
+                        text_latents[mi], image_latents[ni], tmask[mi], temp,
+                        filip_block)
+                    if has_extra:
+                        _, i2t_b = _filip_sims_blocked(
+                            text_latents_extra[mi], image_latents_extra[ni],
+                            tmask[mi], temp, filip_block)
+                    t2i_rows.append(t2i_b)
+                    i2t_rows.append(i2t_b)
+            cl_losses = _infonce_from_sims(
+                jnp.stack(t2i_rows), jnp.stack(i2t_rows),
+                decoupled_contrastive_learning)
+            return cl_losses, sim_reg_loss
+
         # FILIP fine-grained (x_clip.py:797-811)
         sim_t2i = jnp.einsum("mxtd,nyid->mnxyti", text_latents, image_latents) * temp
         sim_i2t = sim_t2i

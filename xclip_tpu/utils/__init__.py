@@ -54,3 +54,4 @@ def max_neg_value(dtype) -> float:
 def matrix_diag(t: jax.Array) -> jax.Array:
     """Batched diagonal of the trailing two axes — reference x_clip.py:57-65."""
     return jnp.diagonal(t, axis1=-2, axis2=-1)
+from .profiling import annotate, step_timer, trace  # noqa: F401
