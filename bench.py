@@ -19,8 +19,8 @@ BASELINE_PAIRS_PER_SEC = 3000.0
 
 
 def run(batch_size=256, steps=20, warmup=3, param_dtype=jnp.float32,
-        attn_impl="xla", compute_dtype="bfloat16", remat=True,
-        remat_policy="dots", loss_impl="xla"):
+        attn_impl="xla", compute_dtype="bfloat16", remat=False,
+        remat_policy="dots", loss_impl="xla", scan_layers=False):
     from xclip_tpu import CLIP
     from xclip_tpu.train import (create_train_state, default_optimizer,
                                  make_train_step)
@@ -31,6 +31,7 @@ def run(batch_size=256, steps=20, warmup=3, param_dtype=jnp.float32,
         visual_enc_depth=6, visual_heads=8, visual_image_size=256,
         visual_patch_size=32, visual_patch_dropout=0.5,
         checkpoint_during_training=remat, remat_policy=remat_policy,
+        scan_layers=scan_layers,
         attn_impl=attn_impl, loss_impl=loss_impl, param_dtype=param_dtype,
         compute_dtype=compute_dtype)
 
@@ -71,20 +72,27 @@ def _is_oom(e: Exception) -> bool:
 
 def main():
     import sys
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    # fastest-first config ladder: unrolled layers without remat wins when it
+    # compiles/fits (+30% over scanned+remat); the remote TPU compiler rejects
+    # the no-remat graph above batch 256, so fall back to scanned+remat, then
+    # halve the batch
     while batch >= 16:
-        try:
-            pairs_per_sec, loss = run(batch_size=batch)
-            break
-        except Exception as e:  # OOM fallback
-            if _is_oom(e):
-                print(f"# batch {batch} OOM, retrying at {batch // 2}",
+        for cfg in (dict(remat=False, scan_layers=False),
+                    dict(remat=True, scan_layers=True)):
+            try:
+                pairs_per_sec, loss = run(batch_size=batch, **cfg)
+                break
+            except Exception as e:
+                print(f"# batch {batch} {cfg} failed "
+                      f"({type(e).__name__}: {str(e)[:80]}), falling back",
                       file=sys.stderr)
-                batch //= 2
-                continue
-            raise
+        else:
+            batch //= 2
+            continue
+        break
     else:
-        raise RuntimeError("could not find a fitting batch size")
+        raise RuntimeError("could not find a working configuration")
 
     print(json.dumps({
         "metric": "image-text pairs/sec/chip (ViT-B/32-class CLIP, 256px, seq 256, train step)",

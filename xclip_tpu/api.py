@@ -105,6 +105,7 @@ class CLIP:
         loss_impl: str = "xla",
         filip_block: Optional[int] = None,
         remat_policy: Optional[str] = None,
+        scan_layers: bool = True,
         compute_dtype: Optional[str] = None,
         **kwargs,
     ):
@@ -120,6 +121,7 @@ class CLIP:
                 rotary_pos_emb=text_rotary_pos_emb,
                 checkpoint_during_training=checkpoint_during_training,
                 remat_policy=remat_policy,
+                scan_layers=scan_layers,
             )
 
         if image_encoder is None:
@@ -134,6 +136,7 @@ class CLIP:
                 patch_dropout=visual_patch_dropout,
                 checkpoint_during_training=checkpoint_during_training,
                 remat_policy=remat_policy,
+                scan_layers=scan_layers,
             )
 
         mlm = None

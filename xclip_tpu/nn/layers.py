@@ -141,7 +141,18 @@ def attention_apply(params, x, *, heads: int, dim_head: int,
             i = jnp.arange(n)[:, None]
             j = jnp.arange(n)[None, :]
             sim = jnp.where(j > i, big_neg, sim)
-        attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1).astype(sim.dtype)
+        # fp32-accurate softmax with bf16 storage: the max/normalizer
+        # reductions accumulate in fp32, the exp runs in fp32 registers, but
+        # the only materialized tensors are the bf16 scores and weights —
+        # `softmax(sim.astype(f32))` would store the full fp32 score tensor
+        # (O(b·h·n²) extra HBM traffic; found via device trace)
+        if sim.dtype == jnp.float32:
+            attn = jax.nn.softmax(sim, axis=-1)
+        else:
+            m = jax.lax.stop_gradient(sim.max(axis=-1, keepdims=True))
+            shifted = (sim - m).astype(jnp.float32)
+            denom = jnp.log(jnp.sum(jnp.exp(shifted), axis=-1, keepdims=True))
+            attn = jnp.exp(shifted - denom).astype(sim.dtype)
         if training and attn_dropout > 0.0 and rngs:
             attn = dropout(rngs.next(), attn, attn_dropout, training)
         out = jnp.einsum("bhij,bhjd->bhid", attn, v)
@@ -186,6 +197,7 @@ def transformer_apply(params, x, *, heads: int, dim_head: int,
                       checkpoint_during_training: bool = False,
                       remat_policy: Optional[str] = None,
                       attn_impl: str = "xla",
+                      scan_layers: bool = True,
                       return_hidden: Optional[int] = None):
     """Sandwich-norm transformer. If `return_hidden` is an int, also returns
     the residual-stream activation after that block index (0-based; supports
@@ -225,7 +237,18 @@ def transformer_apply(params, x, *, heads: int, dim_head: int,
                   if remat_policy == "dots" else None)
         block = jax.checkpoint(block, policy=policy)
 
-    x, hiddens = jax.lax.scan(block, x, (params["layers"], layer_rngs))
+    if scan_layers:
+        x, hiddens = jax.lax.scan(block, x, (params["layers"], layer_rngs))
+    else:
+        # unrolled loop: static param slices, no while op — larger HLO but
+        # lets XLA schedule across layers, and (unlike the scan) the no-remat
+        # variant of this graph compiles on the remote TPU toolchain
+        hs = []
+        for i in range(depth):
+            layer_p = jax.tree.map(lambda a: a[i], params["layers"])
+            x, h = block(x, (layer_p, layer_rngs[i]))
+            hs.append(h)
+        hiddens = jnp.stack(hs) if collect_hidden else None
     out = layer_norm_apply(params["norm_out"], x)
 
     if return_hidden is not None:

@@ -40,6 +40,7 @@ class TextTransformer:
     ff_dropout: float = 0.0
     checkpoint_during_training: bool = False
     remat_policy: Optional[str] = None
+    scan_layers: bool = True
 
     @property
     def has_cls_token(self) -> bool:
@@ -88,4 +89,5 @@ class TextTransformer:
             rng=rng, training=training,
             checkpoint_during_training=self.checkpoint_during_training,
             remat_policy=self.remat_policy,
+            scan_layers=self.scan_layers,
             attn_impl=attn_impl)

@@ -40,6 +40,7 @@ class VisionTransformer:
     ff_dropout: float = 0.0
     checkpoint_during_training: bool = False
     remat_policy: Optional[str] = None
+    scan_layers: bool = True
 
     def __post_init__(self):
         assert self.image_size % self.patch_size == 0, \
@@ -113,6 +114,7 @@ class VisionTransformer:
             rng=rng_tr, training=training,
             checkpoint_during_training=self.checkpoint_during_training,
             remat_policy=self.remat_policy,
+            scan_layers=self.scan_layers,
             attn_impl=attn_impl,
             return_hidden=return_hidden)
         if return_hidden is not None:
