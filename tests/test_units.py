@@ -236,3 +236,50 @@ def test_flash_attention_gradients_match_xla(causal):
     for gd, gf, name in zip(g_dense, g_flash, "qkv"):
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gd),
                                    atol=5e-5, rtol=5e-4, err_msg=f"d{name}")
+
+
+def test_fused_ff_geglu_layernorm_matches_oracle():
+    """kernels/fused_ff.geglu_layernorm (one-pass GEGLU + inner LayerNorm)
+    must match the XLA path in both output and grads (fp32, interpret)."""
+    from xclip_tpu.kernels.fused_ff import geglu_layernorm
+    from xclip_tpu.nn.core import layer_norm_apply
+
+    rng = np.random.RandomState(0)
+    h = jnp.asarray(rng.randn(7, 13, 64).astype(np.float32))
+    g = jnp.asarray(rng.randn(32).astype(np.float32))
+    dl = jnp.asarray(rng.randn(7, 13, 32).astype(np.float32))
+
+    def oracle(h_, g_):
+        a, b = jnp.split(h_, 2, -1)
+        prod = a * jax.nn.gelu(b, approximate=False)
+        return layer_norm_apply({"g": g_}, prod)
+
+    out = geglu_layernorm(h, g, None, 8, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(oracle(h, g)),
+                               rtol=2e-5, atol=1e-5)
+
+    f1 = lambda h_, g_: (geglu_layernorm(h_, g_, None, 8, True) * dl).sum()
+    f2 = lambda h_, g_: (oracle(h_, g_) * dl).sum()
+    g1h, g1g = jax.grad(f1, (0, 1))(h, g)
+    g2h, g2g = jax.grad(f2, (0, 1))(h, g)
+    np.testing.assert_allclose(np.asarray(g1h), np.asarray(g2h),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1g), np.asarray(g2g),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_ff_impl_fused_end_to_end():
+    from xclip_tpu import CLIP
+    kw = dict(dim_text=32, dim_image=32, dim_latent=32, num_text_tokens=50,
+              text_enc_depth=1, text_seq_len=8, text_heads=2, text_dim_head=16,
+              visual_enc_depth=1, visual_heads=2, visual_dim_head=16,
+              visual_image_size=16, visual_patch_size=8,
+              visual_patch_dropout=0.0)
+    a = CLIP(**kw)
+    b = CLIP(ff_impl="fused", **kw)
+    rng = np.random.RandomState(0)
+    text = jnp.asarray(rng.randint(1, 50, (4, 8)))
+    image = jnp.asarray(rng.randn(4, 3, 16, 16).astype(np.float32))
+    la = a.model.apply(a.params, text, image, return_loss=True)
+    lb = b.model.apply(a.params, text, image, return_loss=True)
+    np.testing.assert_allclose(float(la), float(lb), rtol=1e-5)

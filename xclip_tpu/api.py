@@ -106,6 +106,7 @@ class CLIP:
         filip_block: Optional[int] = None,
         remat_policy: Optional[str] = None,
         scan_layers: bool = True,
+        ff_impl: str = "xla",
         compute_dtype: Optional[str] = None,
         **kwargs,
     ):
@@ -122,6 +123,7 @@ class CLIP:
                 checkpoint_during_training=checkpoint_during_training,
                 remat_policy=remat_policy,
                 scan_layers=scan_layers,
+                ff_impl=ff_impl,
             )
 
         if image_encoder is None:
@@ -137,6 +139,7 @@ class CLIP:
                 checkpoint_during_training=checkpoint_during_training,
                 remat_policy=remat_policy,
                 scan_layers=scan_layers,
+                ff_impl=ff_impl,
             )
 
         mlm = None

@@ -79,14 +79,21 @@ def feed_forward_init(key, dim: int, mult: int = 4, dtype=jnp.float32):
 
 
 def feed_forward_apply(params, x, *, ff_dropout: float = 0.0,
-                       rngs: Optional[RngStream] = None, training: bool = False):
+                       rngs: Optional[RngStream] = None, training: bool = False,
+                       ff_impl: str = "xla"):
     x = layer_norm_apply(params["norm"], x)
     x = x @ params["w_in"]["w"]
-    x, gate = jnp.split(x, 2, axis=-1)
-    x = x * jax.nn.gelu(gate, approximate=False)
-    x = layer_norm_apply(params["inner_norm"], x)
-    if training and ff_dropout > 0.0 and rngs:
-        x = dropout(rngs.next(), x, ff_dropout, training)
+    if ff_impl == "fused" and not (training and ff_dropout > 0.0):
+        # one-pass Pallas GEGLU+inner-LN (kernels/fused_ff.py): saves the
+        # separate product/stat/normalize HBM round trips between the matmuls
+        from ..kernels.fused_ff import geglu_layernorm
+        x = geglu_layernorm(x, params["inner_norm"]["g"])
+    else:
+        x, gate = jnp.split(x, 2, axis=-1)
+        x = x * jax.nn.gelu(gate, approximate=False)
+        x = layer_norm_apply(params["inner_norm"], x)
+        if training and ff_dropout > 0.0 and rngs:
+            x = dropout(rngs.next(), x, ff_dropout, training)
     return x @ params["w_out"]["w"]
 
 
@@ -197,6 +204,7 @@ def transformer_apply(params, x, *, heads: int, dim_head: int,
                       checkpoint_during_training: bool = False,
                       remat_policy: Optional[str] = None,
                       attn_impl: str = "xla",
+                      ff_impl: str = "xla",
                       scan_layers: bool = True,
                       return_hidden: Optional[int] = None):
     """Sandwich-norm transformer. If `return_hidden` is an int, also returns
@@ -225,7 +233,7 @@ def transformer_apply(params, x, *, heads: int, dim_head: int,
         with jax.named_scope("feed_forward"):
             x = feed_forward_apply(
                 p["ff"], x, ff_dropout=ff_dropout, rngs=rngs,
-                training=training) + x
+                training=training, ff_impl=ff_impl) + x
         return x, (x if collect_hidden else None)
 
     if training and checkpoint_during_training:

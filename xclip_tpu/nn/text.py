@@ -41,6 +41,7 @@ class TextTransformer:
     checkpoint_during_training: bool = False
     remat_policy: Optional[str] = None
     scan_layers: bool = True
+    ff_impl: str = "xla"
 
     @property
     def has_cls_token(self) -> bool:
@@ -90,4 +91,5 @@ class TextTransformer:
             checkpoint_during_training=self.checkpoint_during_training,
             remat_policy=self.remat_policy,
             scan_layers=self.scan_layers,
+            ff_impl=self.ff_impl,
             attn_impl=attn_impl)

@@ -41,6 +41,7 @@ class VisionTransformer:
     checkpoint_during_training: bool = False
     remat_policy: Optional[str] = None
     scan_layers: bool = True
+    ff_impl: str = "xla"
 
     def __post_init__(self):
         assert self.image_size % self.patch_size == 0, \
@@ -115,6 +116,7 @@ class VisionTransformer:
             checkpoint_during_training=self.checkpoint_during_training,
             remat_policy=self.remat_policy,
             scan_layers=self.scan_layers,
+            ff_impl=self.ff_impl,
             attn_impl=attn_impl,
             return_hidden=return_hidden)
         if return_hidden is not None:
