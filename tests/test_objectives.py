@@ -212,3 +212,71 @@ def test_train_step_updates_ssl_bn_stats():
     assert not np.allclose(np.asarray(bn["var"]), 1.0)
     assert "bn_updates" not in metrics
     assert bool(jnp.isfinite(metrics["loss"]))
+
+
+def test_single_tower_encoders_match_apply_latents():
+    """encode_text/encode_image must equal apply(return_latents) — including
+    the causal-EOS pooling path."""
+    from xclip_tpu import CLIP
+    for over in (dict(), dict(text_causal_mask=True, text_eos_id=49,
+                              text_has_cls_token=False)):
+        clip = CLIP(dim_text=32, dim_image=32, dim_latent=32, num_text_tokens=50,
+                    text_enc_depth=1, text_seq_len=8, text_heads=2,
+                    text_dim_head=16, visual_enc_depth=1, visual_heads=2,
+                    visual_dim_head=16, visual_image_size=16, visual_patch_size=8,
+                    visual_patch_dropout=0.0, **over)
+        rng = np.random.RandomState(0)
+        text = jnp.asarray(rng.randint(1, 49, (4, 8)))
+        if over:
+            text = text.at[:, -1].set(49)  # EOS
+        image = jnp.asarray(rng.randn(4, 3, 16, 16).astype(np.float32))
+        tl, il = clip.model.apply(clip.params, text, image, return_latents=True)
+        tl2 = clip.model.encode_text(clip.params, text)
+        il2 = clip.model.encode_image(clip.params, image)
+        np.testing.assert_allclose(np.asarray(tl), np.asarray(tl2),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(il), np.asarray(il2),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_zero_shot_and_retrieval_utilities():
+    from xclip_tpu import CLIP
+    from xclip_tpu.eval import (build_zero_shot_classifier, retrieval_metrics,
+                                zero_shot_accuracy)
+    clip = CLIP(dim_text=32, dim_image=32, dim_latent=32, num_text_tokens=50,
+                text_enc_depth=1, text_seq_len=8, text_heads=2, text_dim_head=16,
+                visual_enc_depth=1, visual_heads=2, visual_dim_head=16,
+                visual_image_size=16, visual_patch_size=8,
+                visual_patch_dropout=0.0)
+    rng = np.random.RandomState(0)
+    prompts = jnp.asarray(rng.randint(1, 50, (6, 8)))   # 3 classes × 2 templates
+    classifier = build_zero_shot_classifier(clip.model, clip.params, prompts,
+                                            templates_per_class=2)
+    assert classifier.shape == (3, 32)
+    np.testing.assert_allclose(
+        np.asarray(jnp.linalg.norm(classifier, axis=-1)), 1.0, rtol=1e-5)
+
+    images = jnp.asarray(rng.randn(8, 3, 16, 16).astype(np.float32))
+    acc = zero_shot_accuracy(clip.model, clip.params, images,
+                             rng.randint(3, size=8), classifier, topk=(1, 3))
+    assert 0.0 <= acc["top1"] <= acc["top3"] <= 1.0
+
+    text = jnp.asarray(rng.randint(1, 50, (8, 8)))
+    tl, il = clip.model.apply(clip.params, text, images, return_latents=True)
+    m = retrieval_metrics(tl, il)
+    assert set(m) == {f"{d}_r@{k}" for d in ("t2i", "i2t") for k in (1, 5, 10)}
+    assert m["t2i_r@10"] >= m["t2i_r@1"]
+
+
+def test_clip_save_load_roundtrip(tmp_path):
+    from xclip_tpu import CLIP
+    kw = dict(dim_text=32, dim_image=32, dim_latent=32, num_text_tokens=50,
+              text_enc_depth=1, text_seq_len=8, text_heads=2, text_dim_head=16,
+              visual_enc_depth=1, visual_heads=2, visual_dim_head=16,
+              visual_image_size=16, visual_patch_size=8, visual_patch_dropout=0.0)
+    a = CLIP(**kw)
+    a.save(str(tmp_path / "p"))
+    b = CLIP(key=jax.random.PRNGKey(7), **kw)
+    b.load(str(tmp_path / "p"))
+    for x, y in zip(jax.tree.leaves(a.params), jax.tree.leaves(b.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

@@ -216,6 +216,19 @@ class CLIP:
     def init(self, key, dtype=jnp.float32):
         return self.model.init(key, dtype=dtype)
 
+    def save(self, path: str) -> None:
+        """Persist `self.params` with Orbax (the torch.save analogue —
+        the reference leaves checkpointing entirely to user code)."""
+        from .train.checkpoint import save_checkpoint
+        save_checkpoint(path, self.params)
+
+    def load(self, path: str) -> None:
+        """Restore params saved by `save` into this model (in place).
+        The param-tree structure is stable across feature flags (extra
+        latent heads always allocated, model.py init)."""
+        from .train.checkpoint import restore_checkpoint
+        self.params = restore_checkpoint(path, self.params)
+
     def apply(self, params, text, image, **kwargs):
         return self.model.apply(params, text, image, **kwargs)
 

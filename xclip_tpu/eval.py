@@ -1,0 +1,61 @@
+"""Evaluation utilities: zero-shot classification and retrieval metrics.
+
+The reference ships no evaluation code (SURVEY §1); these are the standard
+CLIP-consumption utilities built on the single-tower encoders
+(`CLIPModel.encode_text` / `encode_image`), jit-compiled and batched.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_zero_shot_classifier(model, params, class_tokens: jax.Array,
+                               *, templates_per_class: int = 1):
+    """`class_tokens`: (num_classes · templates_per_class, seq) token ids —
+    prompts grouped by class. Returns (num_classes, dim_latent) l2-normed
+    class embeddings (template latents averaged per class then re-normed,
+    the standard CLIP zero-shot recipe)."""
+    latents = jax.jit(model.encode_text)(params, class_tokens)
+    latents = latents.reshape(-1, templates_per_class, latents.shape[-1])
+    mean = latents.mean(axis=1)
+    return mean / jnp.linalg.norm(mean, axis=-1, keepdims=True)
+
+
+def zero_shot_logits(model, params, images: jax.Array,
+                     classifier: jax.Array) -> jax.Array:
+    """(b, num_classes) similarity logits × exp(temperature)."""
+    temp = jnp.exp(params["temperature"].astype(jnp.float32))
+    img = jax.jit(model.encode_image)(params, images)
+    return img @ classifier.T * temp
+
+
+def zero_shot_accuracy(model, params, images, labels, classifier,
+                       *, topk: Sequence[int] = (1,)) -> dict:
+    logits = zero_shot_logits(model, params, images, classifier)
+    order = jnp.argsort(-logits, axis=-1)
+    out = {}
+    for k in topk:
+        hit = (order[:, :k] == jnp.asarray(labels)[:, None]).any(axis=-1)
+        out[f"top{k}"] = float(hit.mean())
+    return out
+
+
+def retrieval_metrics(text_latents: jax.Array, image_latents: jax.Array,
+                      *, ks: Sequence[int] = (1, 5, 10)) -> dict:
+    """Paired-batch retrieval recall@k in both directions (row i of each
+    side is a positive pair)."""
+    sims = np.asarray(text_latents @ image_latents.T)
+    n = sims.shape[0]
+    gold = np.arange(n)
+    out = {}
+    for name, s in (("t2i", sims), ("i2t", sims.T)):
+        rank = (-s).argsort(axis=-1)
+        pos = (rank == gold[:, None]).argmax(axis=-1)
+        for k in ks:
+            out[f"{name}_r@{k}"] = float((pos < k).mean())
+    return out

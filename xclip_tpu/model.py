@@ -140,6 +140,55 @@ class CLIPModel:
         b, c, hh, ww = x.shape
         return x.reshape(b, c, hh * ww).transpose(0, 2, 1)
 
+    # ------------------------------------------------------ single-tower API
+    def _cast_params(self, params):
+        if self.compute_dtype is None:
+            return params
+        cdtype = jnp.dtype(self.compute_dtype)
+        return jax.tree.map(
+            lambda x: x.astype(cdtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+
+    def encode_text(self, params, text, *, rng=None, training=False):
+        """Text-only encoding → l2-normed latents (the text half of
+        `apply`'s latent path, x_clip.py:662-685,702-716) — for retrieval /
+        zero-shot use where images aren't paired with the texts."""
+        params = self._cast_params(params)
+        text_mask = text != self.text_pad_id
+        enc_mask = None if self.text_encode_without_mask else text_mask
+        enc_text = self.text_encoder.apply(
+            params["text"], text, enc_mask, rng=rng, training=training,
+            attn_impl=self.attn_impl)
+        if self.text_causal_mask:
+            eos_mask = text == self.text_eos_id
+            eos_onehot = (jnp.cumsum(eos_mask, axis=-1) == 1) & eos_mask
+            eos_idx = jnp.argmax(eos_onehot, axis=-1)
+            eos_tokens = jnp.take_along_axis(enc_text, eos_idx[:, None, None], axis=1)
+            rest_order = jnp.argsort(eos_onehot.astype(jnp.int32), axis=-1,
+                                     stable=True)[:, : text.shape[-1] - 1]
+            rest = jnp.take_along_axis(enc_text, rest_order[:, :, None], axis=1)
+            enc_text = jnp.concatenate([eos_tokens, rest], axis=1)
+        if self.use_all_token_embeds:
+            embeds = enc_text[:, 1:] if self.text_has_cls_token else enc_text
+        else:
+            embeds = enc_text[:, 0] if enc_text.ndim == 3 else enc_text
+        return l2norm((embeds @ params["to_text_latent"]["w"]).astype(jnp.float32))
+
+    def encode_image(self, params, image, *, rng=None, training=False):
+        """Image-only encoding → l2-normed latents (x_clip.py:689-718)."""
+        params = self._cast_params(params)
+        if self.compute_dtype is not None:
+            image = image.astype(jnp.dtype(self.compute_dtype))
+        enc_image = self.visual_encoder.apply(
+            params["visual"], image, rng=rng, training=training,
+            attn_impl=self.attn_impl)
+        if self.use_all_token_embeds:
+            embeds = enc_image[:, 1:] if self.visual_has_cls_token else enc_image
+        else:
+            embeds = enc_image[:, 0] if enc_image.ndim == 3 else enc_image
+        return l2norm(self._visual_latent(
+            params["to_visual_latent"], embeds).astype(jnp.float32))
+
     # --------------------------------------------------------------- apply
     def apply(self, params, text, image, *,
               return_loss: bool = False,
