@@ -226,3 +226,73 @@ def test_checkpoint_roundtrip(tmp_path):
     for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert int(restored.step) == 0
+
+
+def test_sharded_ssl_losses_are_device_averaged():
+    """MLM / visual-SSL losses computed per shard must be pmean'd over the
+    data axis (DDP grad-average semantics) — with a deterministic MLM
+    (mask_prob=1, replace_prob=1) and uniform shards the sharded total must
+    equal the single-device loss."""
+    clip = mock_clip(use_mlm=True, mlm_mask_prob=1.0, mlm_replace_prob=1.0,
+                     mlm_random_token_prob=0.0)
+    rng = np.random.RandomState(8)
+    text = jnp.asarray(rng.randint(3, 50, (8, 8)))   # no pads: uniform shards
+    image = jnp.asarray(rng.randn(8, 3, 16, 16).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+
+    loss_global = clip.model.apply(clip.params, text, image, return_loss=True,
+                                   rng=key)
+    mesh = create_mesh((8,), axis_names=("data",))
+    fn = shard_map(
+        lambda p, t, i: clip.model.apply(p, t, i, return_loss=True, rng=key,
+                                         axis_name="data"),
+        mesh=mesh, in_specs=(P(), P("data"), P("data")),
+        out_specs=P(), check_vma=False)
+    loss = jax.jit(fn)(clip.params, text, image)
+    np.testing.assert_allclose(float(loss_global), float(loss), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_grad_accumulation_matches_ddp_semantics():
+    """grad_accum=2 must equal averaging the two microbatches' gradients
+    (DDP-without-gather semantics); BN stats still flow through. Gradients
+    are extracted through an identity-SGD update (lr=1) so the comparison
+    is not distorted by adamw normalization."""
+    import optax
+    from xclip_tpu.train import create_train_state
+    clip = mock_clip(use_visual_ssl=True, visual_ssl_type="simclr",
+                     visual_ssl_hidden_layer=-1)
+    opt = optax.sgd(1.0)
+    state = create_train_state(clip.model, jax.random.PRNGKey(0), opt)
+
+    rng = np.random.RandomState(9)
+    text = jnp.asarray(rng.randint(1, 50, (8, 8)))
+    image = jnp.asarray(rng.randn(8, 3, 16, 16).astype(np.float32))
+    key = jax.random.PRNGKey(3)
+
+    step2 = make_train_step(clip.model, opt, donate=False, grad_accum=2)
+    s2, m2 = step2(state, text, image, key)
+    g_acc = jax.tree.map(lambda a, b: a - b, state.params, s2.params)
+
+    keys = jax.random.split(key, 2)
+    def grads_of(t, im, r):
+        return jax.grad(lambda p: clip.model.apply(
+            p, t, im, return_loss=True, rng=r, training=True))(state.params)
+    g0 = grads_of(text[:4], image[:4], keys[0])
+    g1 = grads_of(text[4:], image[4:], keys[1])
+    g_ref = jax.tree.map(lambda a, b: (a + b) / 2, g0, g1)
+
+    skip = ("mean", "var")  # BN running stats are EMA-written, not optimized
+    def walk(a, b, path=()):
+        if isinstance(a, dict):
+            for k in a:
+                walk(a[k], b[k], path + (k,))
+        else:
+            if path[-1] in skip:
+                return
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-4, err_msg=str(path))
+    walk(g_ref, g_acc)
+    assert bool(jnp.isfinite(m2["loss"]))
+    bn = s2.params["visual_ssl"]["projector"]["bn1"]
+    assert not np.allclose(np.asarray(bn["mean"]), 0.0)

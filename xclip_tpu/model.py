@@ -358,6 +358,15 @@ class CLIPModel:
 
         cl_loss, multiview_cl_loss = cl_losses[0], cl_losses[1:]
 
+        # distributed SSL semantics: the MLM / visual-SSL losses are computed
+        # on the LOCAL shard; average them over the data axis so gradients
+        # match DDP's grad-averaging (the reference's torch.distributed
+        # setup). Without this, shard_map grads would SUM the per-device SSL
+        # terms — world_size× too strong.
+        if axis_name is not None:
+            text_ssl_loss = jax.lax.pmean(text_ssl_loss, axis_name)
+            image_ssl_loss = jax.lax.pmean(image_ssl_loss, axis_name)
+
         # ---- weighted total (x_clip.py:851-875)
         text_ssl_w = self.text_ssl_loss_weight if self.mlm is not None else 0.0
         image_ssl_w = self.image_ssl_loss_weight if self.visual_ssl is not None else 0.0

@@ -54,22 +54,64 @@ def _merge_bn_stats(params, bn_updates):
     return merge(params, bn_updates)
 
 
-def make_train_step(model, optimizer, *, donate: bool = True):
+def make_train_step(model, optimizer, *, donate: bool = True,
+                    grad_accum: int = 1):
     """Returns `step(state, text, image, rng) -> (state, metrics)` (jitted).
 
     Place `state` with `shard_state` and the batch with `shard_batch` first;
     jit propagates those shardings, so the same step function runs 1-chip or
     N-chip unchanged.
+
+    `grad_accum > 1` splits the batch into that many microbatches and
+    averages their gradients before one optimizer update (lax.scan, so
+    activation memory is one microbatch's worth). Note the contrastive
+    negatives are then limited to each microbatch — the same trade a
+    data-parallel reference setup WITHOUT the latent all_gather makes.
     """
 
-    def train_step(state: TrainState, text, image, rng):
-        def loss_fn(params):
+    def grads_and_metrics(params, text, image, rng):
+        def loss_fn(p):
             loss, metrics = model.apply(
-                params, text, image, return_loss=True, rng=rng,
+                p, text, image, return_loss=True, rng=rng,
                 training=True, return_metrics=True)
             return loss, metrics
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        return grads, metrics
 
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    def train_step(state: TrainState, text, image, rng):
+        if grad_accum == 1:
+            grads, metrics = grads_and_metrics(state.params, text, image, rng)
+        else:
+            mb = text.shape[0] // grad_accum
+            assert mb > 0, "batch smaller than grad_accum"
+            texts = text[: mb * grad_accum].reshape(grad_accum, mb, *text.shape[1:])
+            images = image[: mb * grad_accum].reshape(grad_accum, mb, *image.shape[1:])
+            rngs = jax.random.split(rng, grad_accum)
+
+            def micro(carry, xs):
+                g_acc, m_acc, _ = carry
+                t, im, r = xs
+                grads, metrics = grads_and_metrics(state.params, t, im, r)
+                bn = metrics.pop("bn_updates", None)
+                g_acc = jax.tree.map(jnp.add, g_acc, grads)
+                m_acc = jax.tree.map(jnp.add, m_acc, metrics)
+                return (g_acc, m_acc, bn), None
+
+            g0 = jax.tree.map(jnp.zeros_like, state.params)
+            _, metrics_shape = jax.eval_shape(
+                grads_and_metrics, state.params, texts[0], images[0], rngs[0])
+            bn0 = jax.tree.map(lambda v: jnp.zeros(v.shape, v.dtype),
+                               metrics_shape.pop("bn_updates", None))
+            metrics0 = {k: jnp.zeros(v.shape, v.dtype)
+                        for k, v in metrics_shape.items()}
+            (grads, metrics, bn), _ = jax.lax.scan(
+                micro, (g0, metrics0, bn0), (texts, images, rngs))
+            grads = jax.tree.map(lambda g: g / grad_accum, grads)
+            metrics = jax.tree.map(lambda m: m / grad_accum, metrics)
+            if bn is not None:
+                # BN running stats from the last microbatch (torch forwards
+                # would fold sequentially; last-EMA is the jit-friendly form)
+                metrics["bn_updates"] = bn
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = dict(metrics)
