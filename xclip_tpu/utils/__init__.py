@@ -55,3 +55,4 @@ def matrix_diag(t: jax.Array) -> jax.Array:
     """Batched diagonal of the trailing two axes — reference x_clip.py:57-65."""
     return jnp.diagonal(t, axis1=-2, axis2=-1)
 from .profiling import annotate, step_timer, trace  # noqa: F401
+from .debug import assert_finite, debug_nans  # noqa: F401
