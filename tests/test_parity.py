@@ -224,3 +224,57 @@ def test_temperature_learnable():
 
     grads = jax.grad(loss_fn)(params)
     assert bool(jnp.abs(grads["temperature"]) > 0)
+
+
+def test_constructor_surface_matches_reference():
+    """Every reference CLIP.__init__ kwarg must exist on our CLIP with the
+    identical default (SURVEY §2.2: the kwargs ARE the public API contract).
+    JAX-specific extras are allowed on top but must be keyword-only with
+    defaults."""
+    import inspect
+    x_clip = install_reference()
+    import xclip_tpu
+
+    ref_sig = inspect.signature(x_clip.CLIP.__init__)
+    our_sig = inspect.signature(xclip_tpu.CLIP.__init__)
+    our_params = our_sig.parameters
+
+    missing, wrong_default = [], []
+    for name, p in ref_sig.parameters.items():
+        if name in ("self", "kwargs"):
+            continue
+        if name not in our_params:
+            missing.append(name)
+            continue
+        ours = our_params[name].default
+        theirs = p.default
+        if ours != theirs and not (ours is None and theirs is None):
+            wrong_default.append((name, theirs, ours))
+    assert not missing, f"missing reference kwargs: {missing}"
+    assert not wrong_default, f"defaults differ: {wrong_default}"
+
+    # extras must not silently shadow future reference names: all keyword-only
+    # with defaults
+    ref_names = set(ref_sig.parameters)
+    for name, p in our_params.items():
+        if name in ref_names or name in ("self", "kwargs"):
+            continue
+        assert p.default is not inspect.Parameter.empty, \
+            f"extra kwarg {name} must have a default"
+
+
+def test_forward_flag_surface_matches_reference():
+    """The reference CLIP.forward flags (x_clip.py:597-608) must all be
+    accepted by our __call__ with the same defaults."""
+    import inspect
+    x_clip = install_reference()
+    import xclip_tpu
+
+    ref_sig = inspect.signature(x_clip.CLIP.forward)
+    our_sig = inspect.signature(xclip_tpu.CLIP.__call__)
+    for name, p in ref_sig.parameters.items():
+        if name == "self":
+            continue
+        assert name in our_sig.parameters, f"missing forward flag: {name}"
+        if p.default is not inspect.Parameter.empty:
+            assert our_sig.parameters[name].default == p.default, name

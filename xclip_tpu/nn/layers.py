@@ -82,14 +82,19 @@ def feed_forward_apply(params, x, *, ff_dropout: float = 0.0,
                        rngs: Optional[RngStream] = None, training: bool = False,
                        ff_impl: str = "xla"):
     x = layer_norm_apply(params["norm"], x)
-    x = x @ params["w_in"]["w"]
     if ff_impl == "fused" and not (training and ff_dropout > 0.0):
         # one-pass Pallas GEGLU+inner-LN (kernels/fused_ff.py): saves the
         # separate product/stat/normalize HBM round trips between the matmuls
         from ..kernels.fused_ff import geglu_layernorm
-        x = geglu_layernorm(x, params["inner_norm"]["g"])
+        x = geglu_layernorm(x @ params["w_in"]["w"], params["inner_norm"]["g"])
     else:
-        x, gate = jnp.split(x, 2, axis=-1)
+        # two weight-slice matmuls instead of one matmul + jnp.split: the
+        # value/gate activations come out contiguous, so the GEGLU product
+        # fusion reads them without strided copies (same math bit-for-bit —
+        # the weight stays stored fused for reference checkpoint parity)
+        w = params["w_in"]["w"]
+        inner = w.shape[-1] // 2
+        x, gate = x @ w[:, :inner], x @ w[:, inner:]
         x = x * jax.nn.gelu(gate, approximate=False)
         x = layer_norm_apply(params["inner_norm"], x)
         if training and ff_dropout > 0.0 and rngs:
