@@ -80,3 +80,19 @@ def test_loader_feeds_train_step():
                               jax.random.PRNGKey(i))
     assert int(state.step) == 2
     assert bool(jnp.isfinite(metrics["loss"]))
+
+
+def test_metrics_logger_jsonl(tmp_path):
+    import json
+    import jax.numpy as jnp
+    from xclip_tpu.train import MetricsLogger
+
+    path = str(tmp_path / "metrics.jsonl")
+    with MetricsLogger(path, flush_every=3, print_to=None) as log:
+        for i in range(5):
+            log.log(i, {"loss": jnp.asarray(float(i)),
+                        "grad_norm": jnp.asarray(0.5),
+                        "bn_updates": {"x": jnp.zeros(2)}}, batch_size=4)
+    recs = [json.loads(l) for l in open(path)]
+    assert [r["step"] for r in recs] == [0, 1, 2, 3, 4]
+    assert recs[3]["loss"] == 3.0 and "bn_updates" not in recs[0]

@@ -4,6 +4,7 @@ checkpoint/resume, loss-breakdown metrics."""
 from .trainer import (TrainState, create_train_state, default_optimizer,
                       make_train_step, shard_batch, shard_state)
 from .checkpoint import restore_checkpoint, save_checkpoint
+from .logging import MetricsLogger
 
 __all__ = ["TrainState", "create_train_state", "default_optimizer",
            "make_train_step", "shard_batch", "shard_state",
