@@ -283,3 +283,54 @@ def test_ff_impl_fused_end_to_end():
     la = a.model.apply(a.params, text, image, return_loss=True)
     lb = b.model.apply(a.params, text, image, return_loss=True)
     np.testing.assert_allclose(float(la), float(lb), rtol=1e-5)
+
+
+def test_pluggable_external_encoders():
+    """Reference capability x_clip.py:482-514: user-supplied towers. The
+    encoder protocol is `init(key, dtype)` + `apply(params, x, [mask], *,
+    rng, training, attn_impl) -> (b, n, d)`."""
+    import dataclasses
+    from xclip_tpu import CLIP
+
+    @dataclasses.dataclass(frozen=True)
+    class ToyVision:
+        dim: int = 16
+        patch: int = 8
+        size: int = 16
+
+        def init(self, key, dtype=jnp.float32):
+            d_in = 3 * self.patch * self.patch
+            return {"w": jax.random.normal(key, (d_in, self.dim), dtype) * 0.02}
+
+        def apply(self, params, x, *, rng=None, training=False, attn_impl="xla"):
+            b, c, h, w = x.shape
+            p = self.patch
+            x = x.reshape(b, c, h // p, p, w // p, p)
+            x = x.transpose(0, 2, 4, 3, 5, 1).reshape(b, -1, p * p * c)
+            return x @ params["w"]
+
+    @dataclasses.dataclass(frozen=True)
+    class ToyText:
+        dim: int = 16
+        vocab: int = 50
+
+        def init(self, key, dtype=jnp.float32):
+            return {"emb": jax.random.normal(key, (self.vocab, self.dim), dtype) * 0.02}
+
+        def apply(self, params, text, mask=None, *, rng=None, training=False,
+                  attn_impl="xla"):
+            return params["emb"][text]
+
+    clip = CLIP(image_encoder=ToyVision(), text_encoder=ToyText(),
+                dim_text=16, dim_image=16, dim_latent=16,
+                visual_has_cls_token=True, text_has_cls_token=True)
+    rng = np.random.RandomState(0)
+    text = jnp.asarray(rng.randint(1, 50, (4, 8)))
+    image = jnp.asarray(rng.randn(4, 3, 16, 16).astype(np.float32))
+    loss = clip(text, image, return_loss=True)
+    assert bool(jnp.isfinite(loss))
+    sims = clip(text, image)
+    assert sims.shape == (4,)
+    g = jax.grad(lambda p: clip.model.apply(p, text, image, return_loss=True,
+                                            rng=jax.random.PRNGKey(0)))(clip.params)
+    assert bool(jnp.isfinite(jax.tree.leaves(g)[0]).all())
