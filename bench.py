@@ -18,7 +18,7 @@ import numpy as np
 BASELINE_PAIRS_PER_SEC = 3000.0
 
 
-def run(batch_size=256, steps=20, warmup=3, param_dtype=jnp.float32,
+def run(batch_size=256, steps=40, warmup=3, param_dtype=jnp.float32,
         attn_impl="xla", compute_dtype="bfloat16", remat=False,
         remat_policy="dots", loss_impl="xla", scan_layers=False):
     from xclip_tpu import CLIP

@@ -80,17 +80,23 @@ class TextImageLoader:
         stop = object()
         err: list = []
 
+        multihost = jax.process_count() > 1
+
+        def place(arr):
+            if self.mesh is None:
+                return jax.device_put(arr)
+            sharding = data_sharding(self.mesh, arr.ndim)
+            if multihost:
+                # each host feeds its own shard of the global batch; the
+                # global array is assembled without cross-host transfers
+                # (batch_size is then the PER-HOST batch)
+                return jax.make_array_from_process_local_data(sharding, arr)
+            return jax.device_put(arr, sharding)
+
         def worker():
             try:
                 for tokens, images in self._host_batches():
-                    if self.mesh is not None:
-                        tokens = jax.device_put(
-                            tokens, data_sharding(self.mesh, tokens.ndim))
-                        images = jax.device_put(
-                            images, data_sharding(self.mesh, images.ndim))
-                    else:
-                        tokens, images = jax.device_put((tokens, images))
-                    q.put({"text": tokens, "image": images})
+                    q.put({"text": place(tokens), "image": place(images)})
             except Exception as e:  # surface worker errors to the consumer
                 err.append(e)
             finally:
