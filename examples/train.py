@@ -23,8 +23,9 @@ import numpy as np
 from xclip_tpu import CLIP
 from xclip_tpu.data import TextImageLoader
 from xclip_tpu.parallel import create_mesh
-from xclip_tpu.train import (create_train_state, default_optimizer,
-                             make_train_step, save_checkpoint, shard_state)
+from xclip_tpu.train import (MetricsLogger, create_train_state,
+                             default_optimizer, make_train_step,
+                             save_checkpoint, shard_state)
 
 STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 20
 BATCH = 32
@@ -63,16 +64,14 @@ def main():
     loader = TextImageLoader(synthetic_examples, BATCH,
                              context_length=64, mesh=mesh)
     rng = jax.random.PRNGKey(1)
-    for i, batch in enumerate(loader):
-        if i >= STEPS:
-            break
-        rng, sub = jax.random.split(rng)
-        state, metrics = step(state, batch["text"], batch["image"], sub)
-        if i % 5 == 0 or i == STEPS - 1:
-            print(f"step {i:4d}  loss {float(metrics['loss']):.4f}  "
-                  f"cl {float(metrics['cl_loss']):.4f}  "
-                  f"grad_norm {float(metrics['grad_norm']):.3f}  "
-                  f"temp {float(metrics['temperature']):.3f}")
+    with MetricsLogger("/tmp/xclip-example-metrics.jsonl",
+                       flush_every=5) as logger:
+        for i, batch in enumerate(loader):
+            if i >= STEPS:
+                break
+            rng, sub = jax.random.split(rng)
+            state, metrics = step(state, batch["text"], batch["image"], sub)
+            logger.log(i, metrics, batch_size=BATCH)
 
     save_checkpoint("/tmp/xclip-example-ckpt", state)
     print("checkpoint saved to /tmp/xclip-example-ckpt")

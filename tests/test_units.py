@@ -334,3 +334,20 @@ def test_pluggable_external_encoders():
     g = jax.grad(lambda p: clip.model.apply(p, text, image, return_loss=True,
                                             rng=jax.random.PRNGKey(0)))(clip.params)
     assert bool(jnp.isfinite(jax.tree.leaves(g)[0]).all())
+
+
+def test_debug_utilities():
+    from xclip_tpu.utils import assert_finite, debug_nans
+    assert_finite({"a": jnp.ones(3)})
+    try:
+        assert_finite({"a": {"b": jnp.array([1.0, float("nan")])}})
+        assert False, "should have raised"
+    except FloatingPointError as e:
+        assert "a/b" in str(e)
+    with debug_nans():
+        try:
+            jax.jit(jnp.log)(jnp.zeros(()) - 1.0).block_until_ready()
+            assert False, "should have raised"
+        except FloatingPointError:
+            pass
+    assert not jax.config.jax_debug_nans

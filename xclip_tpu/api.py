@@ -6,7 +6,14 @@ reference (`x_clip/x_clip.py:413-455` kwargs with identical defaults;
 JAX-specific additions (keyword-only, all optional):
   * `key`          — PRNG key for parameter init (default PRNGKey(0))
   * `param_dtype`  — parameter dtype (default float32)
-  * `attn_impl`    — 'xla' (default) or 'flash' (Pallas kernel)
+  * `compute_dtype` — e.g. 'bfloat16': params/images cast at apply entry,
+    fp32 statistics kept in registers (see docs/DESIGN.md)
+  * `attn_impl`    — 'xla' (default) or 'flash' (Pallas; wins at seq ≳2k)
+  * `loss_impl`    — 'xla' (default) or 'fused' (Pallas streaming-LSE)
+  * `ff_impl`      — 'xla' (default) or 'fused' (Pallas GEGLU+inner-LN)
+  * `filip_block`  — column-block the FILIP score reductions
+  * `scan_layers`  — False unrolls the layer loop (fastest with no remat)
+  * `remat_policy` — None or 'dots' (with checkpoint_during_training)
   * forward: `rng=`, `params=`, `training=` for explicit functional use;
     when omitted during training, an internal host-side key counter supplies
     fresh randomness per call (the torch reference relies on global RNG the

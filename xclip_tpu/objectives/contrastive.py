@@ -22,6 +22,16 @@ any realistic similarity scale). Cross-device negatives arrive via
 `jax.lax.all_gather` over the `axis_name` mesh axis (replacing the
 reference's torch.distributed AllGather autograd fn, distributed.py:14-56) —
 JAX AD then produces the exact global-batch gradient.
+
+Three interchangeable computation shapes (all parity-tested against each
+other and the reference):
+  * local dense (axis_name=None) — (v, b, b) matrices;
+  * row-sharded (default with axis_name) — local rows × gathered columns,
+    O(B_local·B_global) per device, psum'd means; optionally through the
+    Pallas streaming-LSE kernel (`loss_impl='fused'`) which never
+    materializes the similarity block;
+  * replicated (`gather_impl='replicated'`) — the reference's scheme.
+FILIP additionally supports column-blocked reductions (`filip_block=N`).
 """
 
 from __future__ import annotations
