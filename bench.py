@@ -84,6 +84,10 @@ def main():
                 pairs_per_sec, loss = run(batch_size=batch, **cfg)
                 break
             except Exception as e:
+                # fall back only on capacity failures (device OOM or the
+                # remote compiler rejecting the graph); real bugs re-raise
+                if not (_is_oom(e) or "remote_compile" in str(e)):
+                    raise
                 print(f"# batch {batch} {cfg} failed "
                       f"({type(e).__name__}: {str(e)[:80]}), falling back",
                       file=sys.stderr)

@@ -9,8 +9,6 @@ swap `synthetic_examples` for your own iterable of (str, CHW-float) pairs.
 Usage:  python examples/train.py [steps]
 """
 
-import sys
-
 import os
 import sys
 

@@ -7,11 +7,19 @@ CLIP-consumption utilities built on the single-tower encoders
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_encoders(model):
+    # model configs are frozen dataclasses (hashable); cache one jit per
+    # model so eval loops don't retrace/recompile every call
+    return jax.jit(model.encode_text), jax.jit(model.encode_image)
 
 
 def build_zero_shot_classifier(model, params, class_tokens: jax.Array,
@@ -20,7 +28,8 @@ def build_zero_shot_classifier(model, params, class_tokens: jax.Array,
     prompts grouped by class. Returns (num_classes, dim_latent) l2-normed
     class embeddings (template latents averaged per class then re-normed,
     the standard CLIP zero-shot recipe)."""
-    latents = jax.jit(model.encode_text)(params, class_tokens)
+    encode_text, _ = _jitted_encoders(model)
+    latents = encode_text(params, class_tokens)
     latents = latents.reshape(-1, templates_per_class, latents.shape[-1])
     mean = latents.mean(axis=1)
     return mean / jnp.linalg.norm(mean, axis=-1, keepdims=True)
@@ -30,7 +39,8 @@ def zero_shot_logits(model, params, images: jax.Array,
                      classifier: jax.Array) -> jax.Array:
     """(b, num_classes) similarity logits × exp(temperature)."""
     temp = jnp.exp(params["temperature"].astype(jnp.float32))
-    img = jax.jit(model.encode_image)(params, images)
+    _, encode_image = _jitted_encoders(model)
+    img = encode_image(params, images)
     return img @ classifier.T * temp
 
 

@@ -56,9 +56,13 @@ def _forward_math(h32, g32, eps):
     a, b = h32[:, :inner], h32[:, inner:]
     prod = a * _gelu_exact(b)
     mean = jnp.mean(prod, axis=-1, keepdims=True)
-    var = jnp.mean(prod * prod, axis=-1, keepdims=True) - mean * mean
+    # two-pass variance: E[(x-mean)^2] is non-negative by construction —
+    # the one-pass E[x^2]-E[x]^2 form can go negative past eps under fp32
+    # cancellation and NaN the rsqrt
+    centered = prod - mean
+    var = jnp.mean(centered * centered, axis=-1, keepdims=True)
     inv = jax.lax.rsqrt(var + eps)
-    return (prod - mean) * inv * g32, prod, mean, inv
+    return centered * inv * g32, prod, mean, inv
 
 
 def _fwd_kernel(h_ref, g_ref, o_ref, *, eps):
@@ -84,9 +88,10 @@ def _bwd_kernel(h_ref, g_ref, do_ref, dh_ref, dg_scr, *, eps, num_blocks):
     gelu_b = _gelu_exact(b)
     prod = a * gelu_b
     mean = jnp.mean(prod, axis=-1, keepdims=True)
-    var = jnp.mean(prod * prod, axis=-1, keepdims=True) - mean * mean
+    centered = prod - mean
+    var = jnp.mean(centered * centered, axis=-1, keepdims=True)
     inv = jax.lax.rsqrt(var + eps)
-    xhat = (prod - mean) * inv
+    xhat = centered * inv
 
     dg_scr[0, :] += jnp.sum(do * xhat, axis=0)
 

@@ -95,7 +95,8 @@ def _filip_sims_blocked(text_tok, img_tok, tmask, temp, block):
     i2t = mean over i of max over (mask-filled) t.
     """
     B = img_tok.shape[0]
-    assert B % block == 0, "gathered batch must divide the FILIP block size"
+    assert B % block == 0, \
+        f"filip_block ({block}) must evenly divide the gathered batch ({B})"
     neg = -jnp.finfo(text_tok.dtype).max
 
     img_blocks = img_tok.reshape(B // block, block, *img_tok.shape[1:])

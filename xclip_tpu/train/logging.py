@@ -29,6 +29,9 @@ class MetricsLogger:
         """Stage one step's metrics (device arrays are NOT fetched here)."""
         scalars = {k: v for k, v in metrics.items()
                    if not isinstance(v, dict) and np.ndim(v) == 0}
+        if not self._staged and not hasattr(self, "_started"):
+            self._started = True
+            self._t0 = time.perf_counter()  # exclude compile/setup time
         self._staged.append((step, scalars, batch_size))
         if len(self._staged) >= self._flush_every:
             self.flush()

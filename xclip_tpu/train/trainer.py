@@ -82,8 +82,10 @@ def make_train_step(model, optimizer, *, donate: bool = True,
         if grad_accum == 1:
             grads, metrics = grads_and_metrics(state.params, text, image, rng)
         else:
+            assert text.shape[0] % grad_accum == 0, (
+                f"batch size {text.shape[0]} must divide evenly into "
+                f"grad_accum={grad_accum} microbatches (no silent drops)")
             mb = text.shape[0] // grad_accum
-            assert mb > 0, "batch smaller than grad_accum"
             texts = text[: mb * grad_accum].reshape(grad_accum, mb, *text.shape[1:])
             images = image[: mb * grad_accum].reshape(grad_accum, mb, *image.shape[1:])
             rngs = jax.random.split(rng, grad_accum)
