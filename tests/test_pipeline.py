@@ -96,3 +96,39 @@ def test_metrics_logger_jsonl(tmp_path):
     recs = [json.loads(l) for l in open(path)]
     assert [r["step"] for r in recs] == [0, 1, 2, 3, 4]
     assert recs[3]["loss"] == 3.0 and "bn_updates" not in recs[0]
+
+
+def test_image_folder_dataset_end_to_end(tmp_path):
+    """Directory of PNG + sibling .txt captions → loader batches → a CLIP
+    training step (the full file-to-loss path)."""
+    from PIL import Image
+    from xclip_tpu import CLIP
+    from xclip_tpu.data import ImageFolderDataset, TextImageLoader
+
+    rng = np.random.RandomState(0)
+    for i in range(6):
+        arr = (rng.rand(20, 20, 3) * 255).astype("uint8")
+        Image.fromarray(arr).save(tmp_path / f"img{i}.png")
+        (tmp_path / f"img{i}.txt").write_text(f"a photo number {i}")
+    (tmp_path / "nocap.png").write_bytes((tmp_path / "img0.png").read_bytes())
+
+    ds = ImageFolderDataset(str(tmp_path), image_size=16, shuffle_seed=0)
+    assert len(ds) == 7                      # nocap.png scanned...
+    pairs = list(ds)
+    assert len(pairs) == 6                   # ...but skipped (no caption)
+    cap, img = pairs[0]
+    assert img.shape == (3, 16, 16) and img.dtype == np.float32
+
+    loader = TextImageLoader(ds, batch_size=3, context_length=16)
+    batches = list(loader)
+    assert len(batches) == 2
+    assert batches[0]["text"].shape == (3, 16)
+    assert batches[0]["image"].shape == (3, 3, 16, 16)
+
+    clip = CLIP(dim_text=32, dim_image=32, dim_latent=32,
+                num_text_tokens=49408, text_enc_depth=1, text_seq_len=16,
+                text_heads=2, text_dim_head=16, visual_enc_depth=1,
+                visual_heads=2, visual_dim_head=16, visual_image_size=16,
+                visual_patch_size=8, visual_patch_dropout=0.0)
+    loss = clip(batches[0]["text"], batches[0]["image"], return_loss=True)
+    assert bool(jnp.isfinite(loss))
