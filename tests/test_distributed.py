@@ -213,6 +213,70 @@ def test_train_step_dp_tp_mesh():
     assert not np.allclose(np.asarray(before), np.asarray(after))
 
 
+def test_opt_state_sharded_like_params():
+    """Adam mu/nu must inherit each param's TP PartitionSpec (round-1 gap:
+    place_opt was an identity no-op, leaving moments replicated), and one
+    train step must preserve those shardings."""
+    import optax
+    from xclip_tpu.train import shard_state
+    clip = mock_clip()
+    mesh = create_mesh((4, 2))
+    optimizer = default_optimizer(learning_rate=1e-3)
+    state = create_train_state(clip.model, jax.random.PRNGKey(0), optimizer)
+    state = shard_state(state, mesh)
+
+    def adam_state(opt_state):
+        hits = [x for x in jax.tree.leaves(
+            opt_state, is_leaf=lambda y: isinstance(y, optax.ScaleByAdamState))
+            if isinstance(x, optax.ScaleByAdamState)]
+        assert hits, "no ScaleByAdamState found in opt_state"
+        return hits[0]
+
+    def check(st):
+        adam = adam_state(st.opt_state)
+        nontrivial = 0
+        for p, mu, nu in zip(jax.tree.leaves(st.params),
+                             jax.tree.leaves(adam.mu),
+                             jax.tree.leaves(adam.nu)):
+            assert mu.sharding == p.sharding, (p.shape, p.sharding, mu.sharding)
+            assert nu.sharding == p.sharding
+            if not p.sharding.is_fully_replicated:
+                nontrivial += 1
+        assert nontrivial >= 4  # qkv/out/w_in/w_out are actually TP-sharded
+
+    check(state)
+    text, image = global_batch()
+    text, image = shard_batch((text, image), mesh)
+    step = make_train_step(clip.model, optimizer, donate=False)
+    new_state, _ = step(state, text, image, jax.random.PRNGKey(1))
+    check(new_state)
+
+
+def test_large_batch_sharded_loss_memory_scaling():
+    """The 32k-batch enabler (BASELINE.json configs[4]): the row-sharded loss
+    holds O(B_local × B_global) similarities per device vs the replicated
+    gather's O(B_global²). At global batch 4096 on 8 devices, XLA's compiled
+    temp allocation for the sharded path must be a fraction of the replicated
+    path's (which materializes the full 4096² matrix). docs/SCALING.md has
+    the corresponding v5e-16 HBM arithmetic at 32k."""
+    clip = mock_clip()
+    text, image = global_batch(b=4096, seed=11)
+    mesh = create_mesh((8,), axis_names=("data",))
+
+    def compiled(gather_impl):
+        fn = shard_map(
+            lambda p, t, i: clip.model.apply(p, t, i, return_loss=True,
+                                             axis_name="data",
+                                             gather_impl=gather_impl),
+            mesh=mesh, in_specs=(P(), P("data"), P("data")),
+            out_specs=P(), check_vma=False)
+        return jax.jit(fn).lower(clip.params, text, image).compile()
+
+    sharded = compiled("sharded").memory_analysis().temp_size_in_bytes
+    replicated = compiled("replicated").memory_analysis().temp_size_in_bytes
+    assert sharded < replicated / 2, (sharded, replicated)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from xclip_tpu.train import restore_checkpoint, save_checkpoint
     clip = mock_clip()

@@ -56,3 +56,28 @@ def param_shardings(params, mesh: Mesh):
     """The NamedSharding tree (for jit in_shardings/out_shardings)."""
     return jax.tree_util.tree_map_with_path(
         lambda path, x: NamedSharding(mesh, param_spec(_path_str(path), x)), params)
+
+
+def opt_state_shardings(opt_state, params, mesh: Mesh):
+    """Sharding tree for an optax state: any sub-tree structured like the
+    param tree (Adam mu/nu, weight-decay masks, …) inherits the params'
+    TP shardings leaf-for-leaf; everything else (step counts, empty states)
+    is replicated.
+
+    This is what makes the 32k-batch memory budget work on a TP mesh: Adam
+    moments are 2× the param bytes, and without this they'd replicate onto
+    every chip while the params themselves are sharded (see docs/SCALING.md).
+    """
+    pstruct = jax.tree.structure(params)
+    pshard = param_shardings(params, mesh)
+    repl = NamedSharding(mesh, P())
+
+    def params_like(node):
+        return jax.tree.structure(node) == pstruct
+
+    def place(node):
+        if params_like(node):
+            return pshard
+        return jax.tree.map(lambda _: repl, node)
+
+    return jax.tree.map(place, opt_state, is_leaf=params_like)
