@@ -280,3 +280,40 @@ def test_clip_save_load_roundtrip(tmp_path):
     b.load(str(tmp_path / "p"))
     for x, y in zip(jax.tree.leaves(a.params), jax.tree.leaves(b.params)):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_hidden_layer_tap_by_name_matches_int():
+    """Reference visual_ssl.py:152-171 accepts the hidden layer by NAME as
+    well as index; names map onto this tower's scopes (objectives/ssl.py
+    resolve_hidden_layer)."""
+    import numpy as np
+    from xclip_tpu.objectives.ssl import SimCLR
+
+    from xclip_tpu import CLIP as JClip
+
+    cfg = dict(
+        dim_text=64, dim_image=64, dim_latent=64, num_text_tokens=100,
+        text_enc_depth=2, text_seq_len=16, text_heads=2, text_dim_head=16,
+        visual_enc_depth=2, visual_heads=2, visual_dim_head=16,
+        visual_image_size=32, visual_patch_size=16, visual_patch_dropout=0.0,
+    )
+
+    def loss_for(hidden_layer):
+        ssl = SimCLR(image_size=32, channels=3, hidden_layer=hidden_layer,
+                     temperature=0.1, augment_fn=_identity_aug)
+        clip = JClip(**cfg, visual_ssl=ssl, key=jax.random.PRNGKey(7))
+        npr = np.random.RandomState(3)
+        text = jnp.asarray(npr.randint(1, 100, (4, 16)))
+        image = jnp.asarray(npr.randn(4, 3, 32, 32).astype(np.float32))
+        return float(clip(text, image, return_loss=True,
+                          rng=jax.random.PRNGKey(0)))
+
+    # block-index tap: "transformer/<i>" == int i
+    assert loss_for("transformer/1") == loss_for(1)
+    # stack-output tap: "transformer" / "norm_out" == -2
+    assert loss_for("transformer") == loss_for(-2)
+    assert loss_for("norm_out") == loss_for(-2)
+
+    import pytest
+    with pytest.raises(ValueError):
+        loss_for("no_such_layer")

@@ -21,6 +21,15 @@ Capability parity (each mirrors a reference mechanism):
 The reference's implicit `self.training` becomes an explicit `training` flag
 (defaulting to `return_loss`) plus an rng key threaded through every
 stochastic branch.
+
+NOTE on SSL-head BatchNorm running statistics: they are pure bookkeeping
+(zero gradient) and only flow OUT of `apply` via `return_metrics=True`
+(`metrics["bn_updates"]`), which `train.make_train_step` folds back into the
+param tree each step. A bare `apply(..., return_loss=True)` trains correctly
+(train-mode BN normalizes with current-batch stats, like torch) but leaves
+the stored running stats at their initial (0, 1) — use the train step, or
+pass `return_metrics=True` and merge, if you need torch-parity running stats
+for later eval-mode use of the SSL heads.
 """
 
 from __future__ import annotations

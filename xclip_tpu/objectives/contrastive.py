@@ -81,18 +81,25 @@ def _fused_pair_losses(text_latents, image_latents, text_latents_extra,
     return jnp.stack(cl)
 
 
-def _filip_sims_blocked(text_tok, img_tok, tmask, temp, block):
+def _filip_sims_blocked(text_tok, img_tok, tmask, temp, block,
+                        directions: str = "both"):
     """FILIP similarity matrices without materializing the O(b·B·t·i) score
     tensor: `lax.scan` over blocks of the (gathered) image column axis, each
     step reducing its (b, block, t, i) tile straight down to (b, block) —
-    peak memory O(b·block·t·i) instead of O(b·B·t·i).
+    peak memory O(b·block·t·i) instead of O(b·B·t·i). The step body is
+    rematerialized (`jax.checkpoint`), so the backward pass recomputes each
+    sim tile instead of the scan stacking them as residuals — the memory
+    bound holds under `jax.grad`, not just forward/inference.
 
     text_tok: (b, t, d)   rows (local texts)
     img_tok:  (B, i, d)   columns (all images)
     tmask:    (b, t)      text padding mask
-    Returns (t2i, i2t) each (b, B), matching the dense reductions
-    (x_clip.py:797-811): t2i = masked-mean over t of max over i;
-    i2t = mean over i of max over (mask-filled) t.
+    directions: "both", "t2i", or "i2t" — which reductions to compute (the
+    extra-latent-projection caller needs only one direction per call;
+    skipping the other halves the dominant einsum work).
+    Returns (t2i, i2t) each (b, B) — or None for a skipped direction —
+    matching the dense reductions (x_clip.py:797-811): t2i = masked-mean
+    over t of max over i; i2t = mean over i of max over (mask-filled) t.
     """
     B = img_tok.shape[0]
     assert B % block == 0, \
@@ -101,17 +108,25 @@ def _filip_sims_blocked(text_tok, img_tok, tmask, temp, block):
 
     img_blocks = img_tok.reshape(B // block, block, *img_tok.shape[1:])
 
+    @jax.checkpoint
     def step(_, y_blk):
         sim = jnp.einsum("xtd,yid->xyti", text_tok, y_blk) * temp
-        t2i_blk = masked_mean(sim.max(axis=-1), tmask[:, None, :], axis=-1)
-        masked = jnp.where(tmask[:, None, :, None], sim, neg)
-        i2t_blk = masked.max(axis=-2).mean(axis=-1)
-        return None, (t2i_blk, i2t_blk)                    # (b, block) each
+        outs = []
+        if directions in ("both", "t2i"):
+            outs.append(masked_mean(sim.max(axis=-1), tmask[:, None, :], axis=-1))
+        if directions in ("both", "i2t"):
+            masked = jnp.where(tmask[:, None, :, None], sim, neg)
+            outs.append(masked.max(axis=-2).mean(axis=-1))
+        return None, tuple(outs)                           # (b, block) each
 
-    _, (t2i, i2t) = jax.lax.scan(step, None, img_blocks)
-    # (B//block, b, block) -> (b, B)
-    return (jnp.moveaxis(t2i, 0, 1).reshape(text_tok.shape[0], B),
-            jnp.moveaxis(i2t, 0, 1).reshape(text_tok.shape[0], B))
+    _, outs = jax.lax.scan(step, None, img_blocks)
+
+    def collate(x):  # (B//block, b, block) -> (b, B)
+        return jnp.moveaxis(x, 0, 1).reshape(text_tok.shape[0], B)
+
+    t2i = collate(outs[0]) if directions in ("both", "t2i") else None
+    i2t = collate(outs[-1]) if directions in ("both", "i2t") else None
+    return t2i, i2t
 
 
 def _infonce_from_blocks(text_to_image: jax.Array, image_to_text: jax.Array,
@@ -229,11 +244,13 @@ def _sharded_contrastive_loss(
                 for ni in range(image_latents.shape[0]):
                     t2i_b, i2t_b = _filip_sims_blocked(
                         text_latents[mi], g_img[ni], tmask_local[mi], temp,
-                        filip_block)
+                        filip_block,
+                        directions="t2i" if has_extra else "both")
                     if has_extra:
                         _, i2t_b = _filip_sims_blocked(
                             text_latents_extra[mi], g_img_x[ni],
-                            tmask_local[mi], temp, filip_block)
+                            tmask_local[mi], temp, filip_block,
+                            directions="i2t")
                     t2i_rows.append(t2i_b)
                     i2t_rows.append(i2t_b)
             cl_losses = _infonce_from_blocks(
@@ -368,11 +385,13 @@ def clip_contrastive_loss(
                 for ni in range(image_latents.shape[0]):
                     t2i_b, i2t_b = _filip_sims_blocked(
                         text_latents[mi], image_latents[ni], tmask[mi], temp,
-                        filip_block)
+                        filip_block,
+                        directions="t2i" if has_extra else "both")
                     if has_extra:
                         _, i2t_b = _filip_sims_blocked(
                             text_latents_extra[mi], image_latents_extra[ni],
-                            tmask[mi], temp, filip_block)
+                            tmask[mi], temp, filip_block,
+                            directions="i2t")
                     t2i_rows.append(t2i_b)
                     i2t_rows.append(i2t_b)
             cl_losses = _infonce_from_sims(

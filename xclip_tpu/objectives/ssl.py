@@ -115,10 +115,32 @@ def _updates_to_tree(updates):
 # hidden-layer tap (replaces NetWrapper's forward hooks)
 # --------------------------------------------------------------------------
 
-def representation_dim(encoder, hidden_layer: int) -> int:
+def resolve_hidden_layer(hidden_layer) -> int:
+    """Accepts the reference's layer-by-NAME form (visual_ssl.py:152-171,
+    `_find_layer` with a string looked up in `named_modules()`) alongside
+    the int index. Names map onto this tower's named scopes:
+
+      * "transformer" / "norm_out" — the transformer stack's output
+        (post final norm, pre derived-CLS), i.e. index -2
+      * "transformer/<i>"          — residual stream after block <i>
+    """
+    if isinstance(hidden_layer, int):
+        return hidden_layer
+    name = str(hidden_layer)
+    if name in ("transformer", "norm_out"):
+        return -2
+    if name.startswith("transformer/"):
+        return int(name.split("/", 1)[1])
+    raise ValueError(
+        f"unknown hidden layer name {name!r}; use an int block index, "
+        f"'transformer', 'norm_out', or 'transformer/<block>'")
+
+
+def representation_dim(encoder, hidden_layer) -> int:
     """Static shape inference replacing the reference's mock forward
     (visual_ssl.py:235,288). hidden_layer==-1 → per-token dim; otherwise the
     per-image flattened (n_kept · dim)."""
+    hidden_layer = resolve_hidden_layer(hidden_layer)
     if hidden_layer == -1:
         return encoder.dim
     num_patches = encoder.num_patches
@@ -127,9 +149,12 @@ def representation_dim(encoder, hidden_layer: int) -> int:
     return num_patches * encoder.dim
 
 
-def get_representation(encoder, enc_params, x, hidden_layer: int, *,
+def get_representation(encoder, enc_params, x, hidden_layer, *,
                        rng=None, training=True, attn_impl="xla"):
-    """Returns the flattened 2D representation fed to the projector."""
+    """Returns the flattened 2D representation fed to the projector.
+    `hidden_layer` may be an int block index or a layer name (see
+    `resolve_hidden_layer`)."""
+    hidden_layer = resolve_hidden_layer(hidden_layer)
     if hidden_layer == -1:
         full = encoder.apply(enc_params, x, rng=rng, training=training,
                              attn_impl=attn_impl)
@@ -152,7 +177,7 @@ def get_representation(encoder, enc_params, x, hidden_layer: int, *,
 class SimSiam:
     image_size: int
     channels: int = 3
-    hidden_layer: int = -2
+    hidden_layer: Any = -2   # int block index or layer name (resolve_hidden_layer)
     projection_size: int = 256
     projection_hidden_size: int = 4096
     augment_fn: Optional[Callable] = None
@@ -238,7 +263,7 @@ def nt_xent_loss(queries, keys, temperature=0.1):
 class SimCLR:
     image_size: int
     channels: int = 3
-    hidden_layer: int = -2
+    hidden_layer: Any = -2   # int block index or layer name (resolve_hidden_layer)
     project_hidden: bool = True
     project_dim: int = 128
     augment_both: bool = True

@@ -68,6 +68,12 @@ def make_train_step(model, optimizer, *, donate: bool = True,
     activation memory is one microbatch's worth). Note the contrastive
     negatives are then limited to each microbatch — the same trade a
     data-parallel reference setup WITHOUT the latent all_gather makes.
+
+    Known deviation (grad_accum > 1 + visual SSL): BatchNorm running stats
+    keep only the LAST microbatch's EMA, and each microbatch's EMA starts
+    from the pre-step stored stats — torch would fold all N microbatches
+    sequentially. Gradients are unaffected (stats carry none); only the
+    stored running stats differ, and only on the grad-accum path.
     """
 
     def grads_and_metrics(params, text, image, rng):
