@@ -1,17 +1,27 @@
-"""Host-side input pipeline: tokenize → batch → prefetch to device.
+"""Host-side input pipeline: decode → tokenize → batch → prefetch to device.
 
 The reference has no data pipeline at all (SURVEY §1 — users hand-feed
-tensors). This is the TPU-native subsystem: a background thread tokenizes
-(C++ fast-BPE when built) and collates the next batch while the current one
-trains, and batches are placed on device (optionally sharded over a mesh's
-'data' axis) ahead of use, so host work overlaps device compute.
+tensors). This is the TPU-native subsystem: a worker pool decodes images and
+tokenizes captions (C++ fast-BPE when built) for upcoming batches while the
+current one trains, and finished batches are placed on device (optionally
+sharded over a mesh's 'data' axis) ahead of use, so host work overlaps
+device compute.
+
+Scaling model (docs/SCALING.md has the arithmetic): per-example cost is
+dominated by JPEG decode + resize (~1-3 ms/image/core at 256px); the pool
+parallelizes it across `num_workers` threads (PIL and numpy release the GIL)
+and the 3k pairs/s north star needs on the order of 8-16 host cores. Every
+stage is per-host: on multihost, each process decodes only ITS shard of the
+example stream (disjoint `shard_index::shard_count` slices — no duplicated
+data, no cross-host traffic).
 """
 
 from __future__ import annotations
 
 import queue
 import threading
-from typing import Callable, Iterable, Iterator, Optional, Tuple
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional, Tuple
 
 import jax
 import numpy as np
@@ -20,25 +30,51 @@ from ..parallel.mesh import data_sharding
 from .tokenizer import SimpleTokenizer
 
 
+def _is_indexable(source) -> bool:
+    return hasattr(source, "__getitem__") and hasattr(source, "__len__")
+
+
 class TextImageLoader:
     """Batches (text, image) examples and prefetches them to device.
 
     Args:
-      examples: iterable (or factory returning an iterable, for re-iteration)
-        of (text, image) pairs — text is a string (tokenized here) or a
-        pre-tokenized int sequence; image is a (C, H, W) float array.
+      examples: either an INDEXABLE dataset (`__len__` + `__getitem__`
+        returning a (text, image) pair — e.g. `ImageFolderDataset`), which
+        enables the multi-worker pool, per-epoch shuffling, and multihost
+        sharding; or any iterable / factory returning an iterable of pairs
+        (single-threaded fallback, optionally with a shuffle buffer).
+        Text is a string (tokenized here) or a pre-tokenized int sequence;
+        image is a (C, H, W) float array.
       batch_size: per-host batch size (global batch when single-host).
       context_length: token width; sequences are padded/truncated to it.
       mesh: optional jax Mesh — batches are sharded over its 'data' axis.
       prefetch: number of device batches to stage ahead.
       drop_remainder: drop the final short batch (keeps shapes static for jit).
+      num_workers: decode/tokenize worker threads (indexable sources). 0 =
+        inline in the pipeline thread.
+      shuffle_seed: enables shuffling — a fresh deterministic permutation
+        per epoch for indexable sources, a `shuffle_buffer`-sized streaming
+        shuffle otherwise.
+      shuffle_buffer: buffer size for the streaming shuffle (iterables only).
+      num_epochs: how many passes over the source (None = repeat forever).
+      shard_count/shard_index: partition the example stream across hosts;
+        default to `jax.process_count()` / `jax.process_index()`. Every host
+        sees a DISJOINT `shard_index::shard_count` slice of each epoch's
+        (shuffled) order — the multihost-correctness requirement the
+        single-stream design silently violated.
     """
 
     def __init__(self, examples, batch_size: int, *,
                  context_length: int = 256,
                  tokenizer: Optional[SimpleTokenizer] = None,
                  mesh=None, prefetch: int = 2,
-                 drop_remainder: bool = True):
+                 drop_remainder: bool = True,
+                 num_workers: int = 0,
+                 shuffle_seed: Optional[int] = None,
+                 shuffle_buffer: int = 4096,
+                 num_epochs: Optional[int] = 1,
+                 shard_count: Optional[int] = None,
+                 shard_index: Optional[int] = None):
         self._examples = examples
         self.batch_size = batch_size
         self.context_length = context_length
@@ -46,11 +82,17 @@ class TextImageLoader:
         self.mesh = mesh
         self.prefetch = max(1, prefetch)
         self.drop_remainder = drop_remainder
+        self.num_workers = num_workers
+        self.shuffle_seed = shuffle_seed
+        self.shuffle_buffer = shuffle_buffer
+        self.num_epochs = num_epochs
+        self.shard_count = (shard_count if shard_count is not None
+                            else jax.process_count())
+        self.shard_index = (shard_index if shard_index is not None
+                            else jax.process_index())
+        assert 0 <= self.shard_index < self.shard_count
 
-    def _example_iter(self) -> Iterator:
-        ex = self._examples
-        return iter(ex() if callable(ex) else ex)
-
+    # ------------------------------------------------------------- collate
     def _collate(self, texts, images) -> Tuple[np.ndarray, np.ndarray]:
         if isinstance(texts[0], str):
             tokens = self.tokenizer.tokenize(
@@ -64,9 +106,68 @@ class TextImageLoader:
         images = np.stack([np.asarray(im, dtype=np.float32) for im in images])
         return tokens, images
 
-    def _host_batches(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    # ------------------------------------------- indexable (pooled) source
+    def _epoch_indices(self, n: int, epoch: int) -> np.ndarray:
+        order = np.arange(n)
+        if self.shuffle_seed is not None:
+            # same global permutation on every host (seed ⊕ epoch), then a
+            # disjoint strided slice per host
+            np.random.RandomState(self.shuffle_seed + epoch).shuffle(order)
+        return order[self.shard_index::self.shard_count]
+
+    def _indexed_batches(self, pool) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        src = self._examples
+        n = len(src)
+        epoch = 0
+        while self.num_epochs is None or epoch < self.num_epochs:
+            order = self._epoch_indices(n, epoch)
+            usable = len(order)
+            if self.drop_remainder:
+                usable -= usable % self.batch_size
+            for start in range(0, usable, self.batch_size):
+                idx = order[start:start + self.batch_size]
+                if len(idx) < self.batch_size and self.drop_remainder:
+                    break
+                if pool is not None:
+                    pairs = list(pool.map(src.__getitem__, idx))
+                else:
+                    pairs = [src[i] for i in idx]
+                texts, images = zip(*pairs)
+                yield self._collate(list(texts), list(images))
+            epoch += 1
+
+    # --------------------------------------------- iterable (fallback) path
+    def _iter_examples(self) -> Iterator:
+        epoch = 0
+        while self.num_epochs is None or epoch < self.num_epochs:
+            ex = self._examples
+            it = iter(ex() if callable(ex) else ex)
+            if self.shuffle_seed is not None:
+                it = self._buffered_shuffle(it, epoch)
+            yield from it
+            epoch += 1
+            if not callable(self._examples) and (
+                    self.num_epochs is None or self.num_epochs > 1):
+                raise ValueError(
+                    "multi-epoch iteration over a bare iterator: pass a "
+                    "factory (callable) or an indexable dataset")
+
+    def _buffered_shuffle(self, it, epoch: int):
+        rs = np.random.RandomState(self.shuffle_seed + epoch)
+        buf = []
+        for item in it:
+            if len(buf) < self.shuffle_buffer:
+                buf.append(item)
+                continue
+            j = rs.randint(len(buf))
+            out, buf[j] = buf[j], item
+            yield out
+        rs.shuffle(buf)
+        yield from buf
+
+    def _streamed_batches(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         texts, images = [], []
-        for text, image in self._example_iter():
+        for text, image in self._iter_examples():
             texts.append(text)
             images.append(image)
             if len(texts) == self.batch_size:
@@ -75,6 +176,12 @@ class TextImageLoader:
         if texts and not self.drop_remainder:
             yield self._collate(texts, images)
 
+    def _host_batches(self, pool) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        if _is_indexable(self._examples):
+            return self._indexed_batches(pool)
+        return self._streamed_batches()
+
+    # ---------------------------------------------------------------- iter
     def __iter__(self) -> Iterator[dict]:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = object()
@@ -93,9 +200,13 @@ class TextImageLoader:
                 return jax.make_array_from_process_local_data(sharding, arr)
             return jax.device_put(arr, sharding)
 
+        pool = (ThreadPoolExecutor(self.num_workers)
+                if self.num_workers > 0 and _is_indexable(self._examples)
+                else None)
+
         def worker():
             try:
-                for tokens, images in self._host_batches():
+                for tokens, images in self._host_batches(pool):
                     q.put({"text": place(tokens), "image": place(images)})
             except Exception as e:  # surface worker errors to the consumer
                 err.append(e)
@@ -104,10 +215,14 @@ class TextImageLoader:
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                if err:
-                    raise err[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    if err:
+                        raise err[0]
+                    return
+                yield item
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False)

@@ -62,15 +62,36 @@ class ImageFolderDataset:
         self._paths = self._scan()
 
     def _scan(self) -> Sequence[str]:
+        """Collect image paths that have a usable caption — filtering here
+        (not at iteration) keeps `__getitem__` total, which the loader's
+        worker pool and multihost sharding rely on (every index decodes)."""
         paths = []
         for dirpath, _, files in os.walk(self.root):
             for f in sorted(files):
-                if f.lower().endswith(_IMAGE_EXTS):
-                    paths.append(os.path.join(dirpath, f))
+                if not f.lower().endswith(_IMAGE_EXTS):
+                    continue
+                path = os.path.join(dirpath, f)
+                if self.default_caption is None and not os.path.exists(
+                        os.path.splitext(path)[0] + self.caption_ext):
+                    continue
+                paths.append(path)
         return paths
 
     def __len__(self) -> int:
         return len(self._paths)
+
+    def __getitem__(self, i: int) -> Tuple[str, np.ndarray]:
+        """Random access (decode on demand) — enables TextImageLoader's
+        multi-worker pool, per-epoch shuffles, and per-process sharding."""
+        path = self._paths[int(i)]
+        cap_path = os.path.splitext(path)[0] + self.caption_ext
+        if os.path.exists(cap_path):
+            with open(cap_path) as f:
+                caption = f.read().strip()
+        else:
+            caption = self.default_caption
+        return caption, load_image(path, self.image_size,
+                                   normalize=self.normalize)
 
     def __call__(self) -> Iterator[Tuple[str, np.ndarray]]:
         return iter(self)
@@ -80,14 +101,4 @@ class ImageFolderDataset:
         if self.shuffle_seed is not None:
             np.random.RandomState(self.shuffle_seed).shuffle(order)
         for i in order:
-            path = self._paths[i]
-            cap_path = os.path.splitext(path)[0] + self.caption_ext
-            if os.path.exists(cap_path):
-                with open(cap_path) as f:
-                    caption = f.read().strip()
-            elif self.default_caption is not None:
-                caption = self.default_caption
-            else:
-                continue
-            yield caption, load_image(path, self.image_size,
-                                      normalize=self.normalize)
+            yield self[i]
