@@ -1,0 +1,156 @@
+"""Whole-block Pallas kernels vs the XLA reference paths (interpret mode on
+CPU — identical kernel code runs compiled on TPU):
+
+  * kernels/fused_ff_block.ff_block — PreNorm LN → w_in → GEGLU → inner LN
+    → w_out → residual, custom VJP with tile-wise recompute;
+  * kernels/attention_block.attention_core — whole-head attention over the
+    fused qkv layout, custom VJP;
+  * remat_policy='wide' — fine-grained recompute of the wide tensors only,
+    must be numerically invisible.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xclip_tpu.kernels.attention_block import attention_core
+from xclip_tpu.kernels.fused_ff_block import ff_block
+from xclip_tpu.nn.core import layer_norm_apply
+
+
+def _ff_ref(x, g_pre, w_in, g_inner, w_out):
+    xn = layer_norm_apply({"g": g_pre}, x)
+    inner = w_in.shape[-1] // 2
+    v, gate = xn @ w_in[:, :inner], xn @ w_in[:, inner:]
+    p = v * jax.nn.gelu(gate, approximate=False)
+    return x + layer_norm_apply({"g": g_inner}, p) @ w_out
+
+
+def _ff_args(R=40, D=64, I=128, seed=0):
+    npr = np.random.RandomState(seed)
+    return (jnp.asarray(npr.randn(R, D).astype(np.float32)) * 0.5,
+            jnp.asarray(1 + 0.1 * npr.randn(D).astype(np.float32)),
+            jnp.asarray(npr.randn(D, 2 * I).astype(np.float32)) / np.sqrt(D),
+            jnp.asarray(1 + 0.1 * npr.randn(I).astype(np.float32)),
+            jnp.asarray(npr.randn(I, D).astype(np.float32)) / np.sqrt(I))
+
+
+def test_ff_block_forward_matches_xla():
+    args = _ff_args()
+    out_k = ff_block(*args, 16, 64)
+    out_r = _ff_ref(*args)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
+                               atol=2e-4)
+
+
+def test_ff_block_grads_match_autodiff():
+    args = _ff_args()
+    gk = jax.grad(lambda a: (ff_block(*a, 16, 64) ** 2).sum())(args)
+    gr = jax.grad(lambda a: (_ff_ref(*a) ** 2).sum())(args)
+    for name, a, b in zip(["dx", "dg_pre", "dw_in", "dg_inner", "dw_out"],
+                          gk, gr):
+        rel = float(jnp.max(jnp.abs(a - b))) / (
+            float(jnp.max(jnp.abs(b))) + 1e-9)
+        assert rel < 5e-4, (name, rel)
+
+
+def test_ff_block_3d_and_padding():
+    args = _ff_args(R=40)
+    x3 = args[0].reshape(4, 10, 64)
+    out = ff_block(x3, *args[1:], 16, 64)
+    assert out.shape == (4, 10, 64)
+    np.testing.assert_allclose(np.asarray(out.reshape(40, 64)),
+                               np.asarray(ff_block(*args, 16, 64)), atol=1e-5)
+
+
+def _attn_ref(qkv, mask, heads, dim_head, scale, causal):
+    b, n, _ = qkv.shape
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q, k, v = (t.reshape(b, n, heads, dim_head).transpose(0, 2, 1, 3)
+               for t in (q, k, v))
+    sim = jnp.einsum("bhid,bhjd->bhij", q * scale, k)
+    big_neg = -jnp.finfo(sim.dtype).max
+    sim = jnp.where(mask[:, None, None, :], sim, big_neg)
+    if causal:
+        i = jnp.arange(n)[:, None]
+        j = jnp.arange(n)[None, :]
+        sim = jnp.where(j > i, big_neg, sim)
+    attn = jax.nn.softmax(sim, axis=-1)
+    out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+    return out.transpose(0, 2, 1, 3).reshape(b, n, heads * dim_head)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_attention_core_matches_xla(causal):
+    npr = np.random.RandomState(1)
+    b, n, heads, d = 3, 17, 8, 16      # 8×16 = one 128-lane head group
+    qkv = jnp.asarray(npr.randn(b, n, 3 * heads * d).astype(np.float32))
+    mask = jnp.asarray(npr.rand(b, n) > 0.2)
+    mask = mask.at[:, 0].set(True)
+    scale = d ** -0.5
+
+    out_k = attention_core(qkv, mask, heads, d, scale, causal)
+    out_r = _attn_ref(qkv, mask, heads, d, scale, causal)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
+                               atol=2e-5)
+
+    gk = jax.grad(lambda q: (attention_core(q, mask, heads, d, scale,
+                                            causal) ** 2).sum())(qkv)
+    gr = jax.grad(lambda q: (_attn_ref(q, mask, heads, d, scale,
+                                       causal) ** 2).sum())(qkv)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), atol=5e-4)
+
+
+def _mock_cfg():
+    return dict(dim_text=64, dim_image=64, dim_latent=64, num_text_tokens=100,
+                text_enc_depth=2, text_seq_len=16, text_heads=2,
+                text_dim_head=16, visual_enc_depth=2, visual_heads=2,
+                visual_dim_head=16, visual_image_size=32,
+                visual_patch_size=16, visual_patch_dropout=0.5)
+
+
+def _mock_batch():
+    npr = np.random.RandomState(0)
+    return (jnp.asarray(npr.randint(1, 100, (4, 16))),
+            jnp.asarray(npr.randn(4, 3, 32, 32).astype(np.float32)))
+
+
+@pytest.mark.parametrize("variant", [
+    dict(attn_impl="fused"),
+    dict(ff_impl="block"),
+    dict(attn_impl="fused", ff_impl="block"),
+    dict(checkpoint_during_training=True, remat_policy="wide"),
+    dict(attn_impl="fused", text_rotary_pos_emb=True),
+    dict(attn_impl="fused", text_causal_mask=True, text_eos_id=99),
+])
+def test_model_loss_and_grads_invariant_to_impl(variant):
+    """Every accelerated implementation must be numerically invisible at the
+    model boundary: same loss, same grads as the plain XLA path."""
+    from xclip_tpu import CLIP
+
+    cfg = _mock_cfg()
+    if variant.get("attn_impl") == "fused":
+        # the fused kernel needs 128-lane head groups (kernel `supported`)
+        cfg.update(text_heads=8, text_dim_head=16,
+                   visual_heads=8, visual_dim_head=16)
+    model_flags = {k: v for k, v in variant.items()
+                   if k in ("text_rotary_pos_emb", "text_causal_mask",
+                            "text_eos_id")}
+    impl_flags = {k: v for k, v in variant.items() if k not in model_flags}
+    text, image = _mock_batch()
+
+    base = CLIP(**cfg, **model_flags, key=jax.random.PRNGKey(5))
+    alt = CLIP(**cfg, **model_flags, **impl_flags, key=jax.random.PRNGKey(5))
+
+    def lg(clip):
+        f = lambda p: clip.model.apply(p, text, image, return_loss=True,
+                                       rng=jax.random.PRNGKey(1))
+        return jax.value_and_grad(f)(base.params)
+
+    l0, g0 = lg(base)
+    l1, g1 = lg(alt)
+    assert abs(float(l0) - float(l1)) < 3e-5
+    mx = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), g0, g1)))
+    assert mx < 5e-4, mx

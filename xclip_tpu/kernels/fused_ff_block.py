@@ -1,0 +1,406 @@
+"""Whole-FF-block Pallas TPU kernel: PreNorm LayerNorm → w_in matmul → GEGLU
+→ inner LayerNorm → w_out matmul → residual add, in ONE pass over the rows.
+
+Motivation (r2 device trace, flagship shape 65792×512, inner 2048, bf16):
+the XLA feed-forward materializes the (rows, 2048) value / gate / product /
+normalized tensors in HBM (~1.1 GB per layer per direction) and — with no
+rematerialization — keeps them as backward residuals, which overflows HBM at
+batch 256 and spills to slow host-attached memory (the S(1) copies gating the
+step at ~190 ms). This kernel keeps every inner-dim tensor in VMEM: HBM
+traffic per row tile is x in, out out, and the two weight matrices stay
+resident across the sequential row grid.
+
+Semantics match `nn.layers.feed_forward_apply` + the surrounding PreNorm and
+residual (reference x_clip.py:180-199 FeedForward with NormFormer inner LN,
+:123-130 PreNorm, :285-289 residual):
+
+    out = x + (LN_g_inner(a · gelu_exact(b)) @ w_out),
+    [a, b] = LN_g_pre(x) @ w_in
+
+with fp32 LayerNorm statistics, fp32 GEGLU, dtype-dependent eps
+(nn/core.py layer_norm_apply), and `x.dtype` storage for everything that
+crosses HBM.
+
+The backward is a custom VJP in two Pallas passes that recompute the inner
+activations tile-wise (never materializing them):
+  * pass 1 (row grid): dx (+ residual), dg_pre, dg_inner, and the per-row
+    inner-LN backward statistics;
+  * pass 2 (inner-column × row grid): dW_in and dW_out, accumulated in fp32
+    VMEM scratch per column block — the inner LayerNorm's row coupling is
+    factored out through the pass-1 statistics, so columns are independent.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fused_ff import _gelu_exact, _erf, _INV_SQRT2
+
+DEFAULT_BLOCK_ROWS = 256
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _eps_for(dtype) -> float:
+    return 1e-5 if dtype == jnp.float32 else 1e-3
+
+
+def _ln_fp32(x32, g32, eps):
+    """Gain-only LayerNorm in fp32: returns (normed·g, xhat, mean, inv)."""
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    c = x32 - mean
+    var = jnp.mean(c * c, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = c * inv
+    return xhat * g32, xhat, mean, inv
+
+
+def _gelu_grad(b):
+    pdf = jnp.exp(-0.5 * b * b) * 0.3989422804014327
+    return 0.5 * (1.0 + _erf(b * _INV_SQRT2)) + b * pdf
+
+
+# ------------------------------------------------------------------ forward
+
+def _fwd_kernel(x_ref, gpre_ref, win_ref, gin_ref, wout_ref, o_ref,
+                *, eps_pre, eps_in):
+    x = x_ref[...]
+    x32 = x.astype(jnp.float32)
+    xn32, _, _, _ = _ln_fp32(x32, gpre_ref[...].astype(jnp.float32), eps_pre)
+    xn = xn32.astype(x.dtype)
+
+    h = jax.lax.dot_general(xn, win_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    inner = h.shape[-1] // 2
+    a, b = h[:, :inner], h[:, inner:]
+    prod = a * _gelu_exact(b)
+    y32, _, _, _ = _ln_fp32(prod, gin_ref[...].astype(jnp.float32), eps_in)
+    y = y32.astype(x.dtype)
+
+    out = jax.lax.dot_general(y, wout_ref[...], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    o_ref[...] = out.astype(x.dtype) + x
+
+
+def _ff_block_fwd_call(x2, g_pre, w_in, g_inner, w_out, block_rows, interpret):
+    rows, d = x2.shape
+    two_inner = w_in.shape[-1]
+    inner = two_inner // 2
+    eps = _eps_for(x2.dtype)
+    nb = rows // block_rows
+
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, eps_pre=eps, eps_in=eps),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((block_rows, d), lambda i: (i, 0)),
+            pl.BlockSpec((1, d), lambda i: (0, 0)),
+            pl.BlockSpec((d, two_inner), lambda i: (0, 0)),
+            pl.BlockSpec((1, inner), lambda i: (0, 0)),
+            pl.BlockSpec((inner, d), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_rows, d), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((rows, d), x2.dtype),
+        interpret=interpret,
+    )(x2, g_pre[None, :], w_in, g_inner[None, :], w_out)
+
+
+# ---------------------------------------------------- backward pass 1 (dx)
+
+def _bwd_dx_kernel(x_ref, gpre_ref, win_ref, gin_ref, wout_ref, do_ref,
+                   dx_ref, mean_ref, inv_ref, m1_ref, m2_ref,
+                   dgpre_ref, dgin_ref,
+                   dgpre_scr, dgin_scr, *, eps_pre, eps_in, num_blocks):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dgpre_scr[...] = jnp.zeros_like(dgpre_scr)
+        dgin_scr[...] = jnp.zeros_like(dgin_scr)
+
+    x = x_ref[...]
+    do = do_ref[...]
+    do32 = do.astype(jnp.float32)
+    gpre32 = gpre_ref[...].astype(jnp.float32)
+    gin32 = gin_ref[...].astype(jnp.float32)
+
+    # recompute forward up to the inner normalized activation
+    x32 = x.astype(jnp.float32)
+    xn32, xhat_pre, _, inv_pre = _ln_fp32(x32, gpre32, eps_pre)
+    xn = xn32.astype(x.dtype)
+    h = jax.lax.dot_general(xn, win_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    inner = h.shape[-1] // 2
+    a, b = h[:, :inner], h[:, inner:]
+    gelu_b = _gelu_exact(b)
+    prod = a * gelu_b
+    mean_in = jnp.mean(prod, axis=-1, keepdims=True)
+    c = prod - mean_in
+    var_in = jnp.mean(c * c, axis=-1, keepdims=True)
+    inv_in = jax.lax.rsqrt(var_in + eps_in)
+    xhat_in = c * inv_in
+
+    # d(inner normalized · g) = do @ w_out^T
+    dy = jax.lax.dot_general(do, wout_ref[...],
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dgin_scr[...] += jnp.sum(dy * xhat_in, axis=0, keepdims=True)
+
+    # inner LayerNorm backward
+    dyg = dy * gin32
+    m1 = jnp.mean(dyg, axis=-1, keepdims=True)
+    m2 = jnp.mean(dyg * xhat_in, axis=-1, keepdims=True)
+    dprod = inv_in * (dyg - m1 - xhat_in * m2)
+
+    # emit per-row inner stats for the dW pass
+    mean_ref[...] = mean_in
+    inv_ref[...] = inv_in
+    m1_ref[...] = m1
+    m2_ref[...] = m2
+
+    # GEGLU backward → dh, then dxn = dh @ w_in^T
+    da = dprod * gelu_b
+    db = dprod * a * _gelu_grad(b)
+    dh = jnp.concatenate([da, db], axis=-1).astype(x.dtype)
+    dxn = jax.lax.dot_general(dh, win_ref[...], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+
+    dgpre_scr[...] += jnp.sum(dxn * xhat_pre, axis=0, keepdims=True)
+
+    # pre LayerNorm backward + residual
+    dyg2 = dxn * gpre32
+    p1 = jnp.mean(dyg2, axis=-1, keepdims=True)
+    p2 = jnp.mean(dyg2 * xhat_pre, axis=-1, keepdims=True)
+    dx = inv_pre * (dyg2 - p1 - xhat_pre * p2) + do32
+    dx_ref[...] = dx.astype(dx_ref.dtype)
+
+    @pl.when(i == num_blocks - 1)
+    def _emit():
+        dgpre_ref[...] = dgpre_scr[...]
+        dgin_ref[...] = dgin_scr[...]
+
+
+# ---------------------------------------------------- backward pass 2 (dW)
+
+def _bwd_dw_kernel(x_ref, gpre_ref, wina_ref, winb_ref, gin_ref, wout_ref,
+                   do_ref, mean_ref, inv_ref, m1_ref, m2_ref,
+                   dwina_ref, dwinb_ref, dwout_ref,
+                   dwina_scr, dwinb_scr, dwout_scr,
+                   *, eps_pre, num_row_blocks):
+    r = pl.program_id(1)
+
+    @pl.when(r == 0)
+    def _init():
+        dwina_scr[...] = jnp.zeros_like(dwina_scr)
+        dwinb_scr[...] = jnp.zeros_like(dwinb_scr)
+        dwout_scr[...] = jnp.zeros_like(dwout_scr)
+
+    x = x_ref[...]
+    do = do_ref[...]
+    gpre32 = gpre_ref[...].astype(jnp.float32)
+    gin32 = gin_ref[...].astype(jnp.float32)        # (1, cb) column slice
+    mean_in = mean_ref[...]                         # (rows, 1) fp32 each
+    inv_in = inv_ref[...]
+    m1 = m1_ref[...]
+    m2 = m2_ref[...]
+
+    x32 = x.astype(jnp.float32)
+    xn32, _, _, _ = _ln_fp32(x32, gpre32, eps_pre)
+    xn = xn32.astype(x.dtype)
+
+    # recompute only this column block of the inner activations
+    a = jax.lax.dot_general(xn, wina_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    b = jax.lax.dot_general(xn, winb_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    gelu_b = _gelu_exact(b)
+    prod = a * gelu_b
+    xhat = (prod - mean_in) * inv_in
+
+    # dy over this column block: do @ w_out[cols]^T
+    dy = jax.lax.dot_general(do, wout_ref[...], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dprod = inv_in * (dy * gin32 - m1 - xhat * m2)
+
+    da = (dprod * gelu_b).astype(x.dtype)
+    db = (dprod * a * _gelu_grad(b)).astype(x.dtype)
+    y = (xhat * gin32).astype(x.dtype)              # normalized inner · g
+
+    dwina_scr[...] += jax.lax.dot_general(
+        xn, da, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dwinb_scr[...] += jax.lax.dot_general(
+        xn, db, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dwout_scr[...] += jax.lax.dot_general(
+        y, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(r == num_row_blocks - 1)
+    def _emit():
+        dwina_ref[...] = dwina_scr[...].astype(dwina_ref.dtype)
+        dwinb_ref[...] = dwinb_scr[...].astype(dwinb_ref.dtype)
+        dwout_ref[...] = dwout_scr[...].astype(dwout_ref.dtype)
+
+
+# --------------------------------------------------------------- custom vjp
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def ff_block(x, g_pre, w_in, g_inner, w_out,
+             block_rows=DEFAULT_BLOCK_ROWS, block_cols=512, interpret=None):
+    """x: (..., d); g_pre: (d,); w_in: (d, 2·inner); g_inner: (inner,);
+    w_out: (inner, d). Returns x + FF(LN(x)) with the whole block fused.
+    Differentiable w.r.t. all five tensor arguments."""
+    out, _ = _ff_block_fwd(x, g_pre, w_in, g_inner, w_out,
+                           block_rows, block_cols, interpret)
+    return out
+
+
+def _resolve_interpret(interpret):
+    if interpret is None:
+        return jax.default_backend() != "tpu"
+    return interpret
+
+
+def _flatten_pad(x, block_rows):
+    *lead, d = x.shape
+    rows = 1
+    for s in lead:
+        rows *= s
+    x2 = x.reshape(rows, d)
+    rows_pad = _round_up(rows, block_rows)
+    if rows_pad != rows:
+        x2 = jnp.pad(x2, ((0, rows_pad - rows), (0, 0)))
+    return x2, rows, lead
+
+
+def _clamp_blocks(x, w_in, block_rows, block_cols):
+    inner = w_in.shape[-1] // 2
+    block_cols = min(block_cols, inner)
+    assert inner % block_cols == 0, (inner, block_cols)
+    if x.dtype == jnp.float32:
+        # fp32 doubles every VMEM-resident tensor; halve the row tile
+        block_rows = max(8, block_rows // 2)
+    return block_rows, block_cols
+
+
+def _ff_block_fwd(x, g_pre, w_in, g_inner, w_out,
+                  block_rows, block_cols, interpret):
+    interpret = _resolve_interpret(interpret)
+    block_rows, block_cols = _clamp_blocks(x, w_in, block_rows, block_cols)
+    x2, rows, lead = _flatten_pad(x, block_rows)
+    out = _ff_block_fwd_call(x2, g_pre, w_in, g_inner, w_out,
+                             block_rows, interpret)
+    return out[:rows].reshape(x.shape), (x, g_pre, w_in, g_inner, w_out)
+
+
+def _ff_block_bwd(block_rows, block_cols, interpret, res, dout):
+    x, g_pre, w_in, g_inner, w_out = res
+    interpret = _resolve_interpret(interpret)
+    block_rows, block_cols = _clamp_blocks(x, w_in, block_rows, block_cols)
+    # the dx pass keeps w_in, w_out, the fp32 h and dh tiles and ~10 smaller
+    # temporaries live at once — at (256, 512→4096) that lands 32K over the
+    # 16M scoped-vmem limit, so the backward runs at half the forward tile
+    block_rows = max(8, block_rows // 2)
+    d = x.shape[-1]
+    two_inner = w_in.shape[-1]
+    inner = two_inner // 2
+    eps = _eps_for(x.dtype)
+
+    x2, rows, lead = _flatten_pad(x, block_rows)
+    do2, _, _ = _flatten_pad(dout.astype(x.dtype), block_rows)
+    rows_pad = x2.shape[0]
+    nb = rows_pad // block_rows
+
+    row_vec = lambda: pl.BlockSpec((block_rows, 1), lambda i: (i, 0))
+    dx, s_mean, s_inv, s_m1, s_m2, dgpre, dgin = pl.pallas_call(
+        functools.partial(_bwd_dx_kernel, eps_pre=eps, eps_in=eps,
+                          num_blocks=nb),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((block_rows, d), lambda i: (i, 0)),
+            pl.BlockSpec((1, d), lambda i: (0, 0)),
+            pl.BlockSpec((d, two_inner), lambda i: (0, 0)),
+            pl.BlockSpec((1, inner), lambda i: (0, 0)),
+            pl.BlockSpec((inner, d), lambda i: (0, 0)),
+            pl.BlockSpec((block_rows, d), lambda i: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_rows, d), lambda i: (i, 0)),
+            row_vec(), row_vec(), row_vec(), row_vec(),
+            pl.BlockSpec((1, d), lambda i: (0, 0)),
+            pl.BlockSpec((1, inner), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows_pad, d), x.dtype),
+            jax.ShapeDtypeStruct((rows_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((rows_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((rows_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((rows_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, inner), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, d), jnp.float32),
+            pltpu.VMEM((1, inner), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x2, g_pre[None, :], w_in, g_inner[None, :], w_out, do2)
+
+    # pass 2: dW over (column blocks × row blocks); columns of the inner dim
+    # are independent given the per-row stats, so each column block
+    # accumulates its dW slice across the sequential row grid
+    ncb = inner // block_cols
+    assert inner % block_cols == 0, (inner, block_cols)
+    w_in_a, w_in_b = w_in[:, :inner], w_in[:, inner:]
+
+    stat_vec = lambda: pl.BlockSpec((block_rows, 1), lambda j, r: (r, 0))
+    dwina, dwinb, dwout = pl.pallas_call(
+        functools.partial(_bwd_dw_kernel, eps_pre=eps, num_row_blocks=nb),
+        grid=(ncb, nb),
+        in_specs=[
+            pl.BlockSpec((block_rows, d), lambda j, r: (r, 0)),
+            pl.BlockSpec((1, d), lambda j, r: (0, 0)),
+            pl.BlockSpec((d, block_cols), lambda j, r: (0, j)),
+            pl.BlockSpec((d, block_cols), lambda j, r: (0, j)),
+            pl.BlockSpec((1, block_cols), lambda j, r: (0, j)),
+            pl.BlockSpec((block_cols, d), lambda j, r: (j, 0)),
+            pl.BlockSpec((block_rows, d), lambda j, r: (r, 0)),
+            stat_vec(), stat_vec(), stat_vec(), stat_vec(),
+        ],
+        out_specs=[
+            pl.BlockSpec((d, block_cols), lambda j, r: (0, j)),
+            pl.BlockSpec((d, block_cols), lambda j, r: (0, j)),
+            pl.BlockSpec((block_cols, d), lambda j, r: (j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((d, inner), jnp.float32),
+            jax.ShapeDtypeStruct((d, inner), jnp.float32),
+            jax.ShapeDtypeStruct((inner, d), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((d, block_cols), jnp.float32),
+            pltpu.VMEM((d, block_cols), jnp.float32),
+            pltpu.VMEM((block_cols, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x2, g_pre[None, :], w_in_a, w_in_b, g_inner[None, :], w_out, do2,
+      s_mean, s_inv, s_m1, s_m2)
+
+    dw_in = jnp.concatenate([dwina, dwinb], axis=-1).astype(w_in.dtype)
+    return (dx[:rows].reshape(x.shape),
+            dgpre[0].astype(g_pre.dtype),
+            dw_in,
+            dgin[0].astype(g_inner.dtype),
+            dwout.astype(w_out.dtype))
+
+
+ff_block.defvjp(
+    lambda x, g_pre, w_in, g_inner, w_out, block_rows, block_cols, interpret:
+        _ff_block_fwd(x, g_pre, w_in, g_inner, w_out, block_rows, block_cols,
+                      interpret),
+    _ff_block_bwd)

@@ -91,9 +91,23 @@ def feed_forward_init(key, dim: int, mult: int = 4, dtype=jnp.float32):
     }
 
 
+def _ff_middle(x, w, g_inner):
+    """w_in matmul → GEGLU → inner LayerNorm: everything whose width is the
+    O(4·dim) inner dimension. Split out so `remat_wide` can recompute exactly
+    this segment in the backward pass — the r1 device trace showed these
+    (rows, 2048) residuals overflowing HBM at batch 256 and spilling to slow
+    host-attached memory. Two weight-slice matmuls instead of one matmul +
+    jnp.split keep the value/gate activations contiguous (same math
+    bit-for-bit; the weight stays stored fused for checkpoint parity)."""
+    inner = w.shape[-1] // 2
+    v, gate = x @ w[:, :inner], x @ w[:, inner:]
+    v = v * jax.nn.gelu(gate, approximate=False)
+    return layer_norm_apply({"g": g_inner}, v)
+
+
 def feed_forward_apply(params, x, *, ff_dropout: float = 0.0,
                        rngs: Optional[RngStream] = None, training: bool = False,
-                       ff_impl: str = "xla"):
+                       ff_impl: str = "xla", remat_wide: bool = False):
     x = layer_norm_apply(params["norm"], x)
     if ff_impl == "fused" and training and ff_dropout > 0.0:
         _warn_fallback("ff_impl='fused'",
@@ -105,15 +119,8 @@ def feed_forward_apply(params, x, *, ff_dropout: float = 0.0,
         from ..kernels.fused_ff import geglu_layernorm
         x = geglu_layernorm(x @ params["w_in"]["w"], params["inner_norm"]["g"])
     else:
-        # two weight-slice matmuls instead of one matmul + jnp.split: the
-        # value/gate activations come out contiguous, so the GEGLU product
-        # fusion reads them without strided copies (same math bit-for-bit —
-        # the weight stays stored fused for reference checkpoint parity)
-        w = params["w_in"]["w"]
-        inner = w.shape[-1] // 2
-        x, gate = x @ w[:, :inner], x @ w[:, inner:]
-        x = x * jax.nn.gelu(gate, approximate=False)
-        x = layer_norm_apply(params["inner_norm"], x)
+        middle = jax.checkpoint(_ff_middle) if remat_wide else _ff_middle
+        x = middle(x, params["w_in"]["w"], params["inner_norm"]["g"])
         if training and ff_dropout > 0.0 and rngs:
             x = dropout(rngs.next(), x, ff_dropout, training)
     return x @ params["w_out"]["w"]
@@ -141,12 +148,42 @@ def attention_apply(params, x, *, heads: int, dim_head: int,
                     attn_dropout: float = 0.0,
                     rngs: Optional[RngStream] = None,
                     training: bool = False,
-                    attn_impl: str = "xla"):
+                    attn_impl: str = "xla",
+                    remat_wide: bool = False):
     b, n, _ = x.shape
     scale = dim_head ** -0.5
 
     x = layer_norm_apply(params["norm"], x)
     qkv = x @ params["to_qkv"]["w"]
+
+    if attn_impl == "fused":
+        from ..kernels.attention_block import supported as _fused_ok
+        if training and attn_dropout > 0.0:
+            _warn_fallback("attn_impl='fused'",
+                           "attn_dropout > 0 in training mode (the fused "
+                           "whole-head kernel has no attention dropout)")
+        elif not _fused_ok(heads, dim_head):
+            _warn_fallback("attn_impl='fused'",
+                           f"heads={heads}, dim_head={dim_head} does not "
+                           "tile into 128-lane head groups")
+    if (attn_impl == "fused" and not (training and attn_dropout > 0.0)
+            and _fused_ok(heads, dim_head)):
+        # whole-head Pallas attention (kernels/attention_block.py): q/k/v
+        # stay as column slices of the fused qkv tensor (no transposes) and
+        # the O(n²) scores never touch HBM in either direction
+        from ..kernels.attention_block import attention_core
+        if rotary is not None:
+            # quirk parity: the SAME rotation applies to q, k and v
+            # (x_clip.py:223), so it acts elementwise on every 64-wide head
+            # slice of the fused tensor
+            qkv4 = qkv.reshape(b, n, 3 * heads, dim_head)
+            qkv4 = apply_rotary_pos_emb(rotary[:, None, :], qkv4)
+            qkv = qkv4.reshape(b, n, 3 * heads * dim_head)
+        key_mask = mask if mask is not None else jnp.ones((b, n), dtype=bool)
+        out = attention_core(qkv, key_mask, heads, dim_head, scale, causal)
+        out = out @ params["to_out"]["w"]
+        return layer_norm_apply(params["out_norm"], out)
+
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q, k, v = (t.reshape(b, n, heads, dim_head).transpose(0, 2, 1, 3) for t in (q, k, v))
 
@@ -166,29 +203,38 @@ def attention_apply(params, x, *, heads: int, dim_head: int,
         from ..kernels.flash_attention import flash_attention
         out = flash_attention(q, k, v, mask=mask, causal=causal)
     else:
-        sim = jnp.einsum("bhid,bhjd->bhij", q, k)
-        big_neg = -jnp.finfo(sim.dtype).max
-        if mask is not None:
-            sim = jnp.where(mask[:, None, None, :], sim, big_neg)
-        if causal:
-            i = jnp.arange(n)[:, None]
-            j = jnp.arange(n)[None, :]
-            sim = jnp.where(j > i, big_neg, sim)
-        # fp32-accurate softmax with bf16 storage: the max/normalizer
-        # reductions accumulate in fp32, the exp runs in fp32 registers, but
-        # the only materialized tensors are the bf16 scores and weights —
-        # `softmax(sim.astype(f32))` would store the full fp32 score tensor
-        # (O(b·h·n²) extra HBM traffic; found via device trace)
-        if sim.dtype == jnp.float32:
-            attn = jax.nn.softmax(sim, axis=-1)
-        else:
-            m = jax.lax.stop_gradient(sim.max(axis=-1, keepdims=True))
-            shifted = (sim - m).astype(jnp.float32)
-            denom = jnp.log(jnp.sum(jnp.exp(shifted), axis=-1, keepdims=True))
-            attn = jnp.exp(shifted - denom).astype(sim.dtype)
-        if training and attn_dropout > 0.0 and rngs:
-            attn = dropout(rngs.next(), attn, attn_dropout, training)
-        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        def attn_inner(q, k, v):
+            sim = jnp.einsum("bhid,bhjd->bhij", q, k)
+            big_neg = -jnp.finfo(sim.dtype).max
+            if mask is not None:
+                sim = jnp.where(mask[:, None, None, :], sim, big_neg)
+            if causal:
+                i = jnp.arange(n)[:, None]
+                j = jnp.arange(n)[None, :]
+                sim = jnp.where(j > i, big_neg, sim)
+            # fp32-accurate softmax with bf16 storage: the max/normalizer
+            # reductions accumulate in fp32, the exp runs in fp32 registers,
+            # but the only materialized tensors are the bf16 scores and
+            # weights — `softmax(sim.astype(f32))` would store the full fp32
+            # score tensor (O(b·h·n²) extra HBM traffic; device-trace found)
+            if sim.dtype == jnp.float32:
+                attn = jax.nn.softmax(sim, axis=-1)
+            else:
+                m = jax.lax.stop_gradient(sim.max(axis=-1, keepdims=True))
+                shifted = (sim - m).astype(jnp.float32)
+                denom = jnp.log(jnp.sum(jnp.exp(shifted), axis=-1,
+                                        keepdims=True))
+                attn = jnp.exp(shifted - denom).astype(sim.dtype)
+            if training and attn_dropout > 0.0 and rngs:
+                attn = dropout(rngs.next(), attn, attn_dropout, training)
+            return jnp.einsum("bhij,bhjd->bhid", attn, v)
+
+        if remat_wide and not (training and attn_dropout > 0.0 and rngs):
+            # recompute the O(n²) score/weight tensors in the backward pass
+            # instead of keeping them as residuals (flash-attention-style
+            # memory, XLA compute) — see _ff_middle for the rationale
+            attn_inner = jax.checkpoint(attn_inner)
+        out = attn_inner(q, k, v)
 
     out = out.transpose(0, 2, 1, 3).reshape(b, n, heads * dim_head)
     out = out @ params["to_out"]["w"]
@@ -248,6 +294,18 @@ def transformer_apply(params, x, *, heads: int, dim_head: int,
 
     collect_hidden = return_hidden is not None
 
+    # remat_policy selects what the backward pass recomputes (with
+    # checkpoint_during_training):
+    #   'wide' — recompute ONLY the O(n·inner) FF middle and the O(n²)
+    #     attention score/weight tensors (the residuals the r1 device trace
+    #     showed spilling to slow memory at batch 256), via fine-grained
+    #     jax.checkpoint wraps INSIDE the block; every narrow matmul output
+    #     stays resident, so recompute FLOPs are minimal.
+    #   'dots' — per-block remat keeping batch-free dot outputs.
+    #   None  — full per-block remat (save only block inputs).
+    remat_wide = (training and checkpoint_during_training
+                  and remat_policy == "wide")
+
     def block(x, layer):
         p, lrng = layer
         rngs = RngStream(lrng) if needs_dropout_rng else None
@@ -255,18 +313,30 @@ def transformer_apply(params, x, *, heads: int, dim_head: int,
             x = attention_apply(
                 p["attn"], x, heads=heads, dim_head=dim_head, causal=causal,
                 mask=mask, rotary=rotary, attn_dropout=attn_dropout,
-                rngs=rngs, training=training, attn_impl=attn_impl) + x
+                rngs=rngs, training=training, attn_impl=attn_impl,
+                remat_wide=remat_wide) + x
         with jax.named_scope("feed_forward"):
-            x = feed_forward_apply(
-                p["ff"], x, ff_dropout=ff_dropout, rngs=rngs,
-                training=training, ff_impl=ff_impl) + x
+            if ff_impl == "block" and not (training and ff_dropout > 0.0
+                                           and rngs):
+                # whole-FF-block Pallas kernel (kernels/fused_ff_block.py):
+                # PreNorm LN → w_in → GEGLU → inner LN → w_out → residual in
+                # one pass; backward recomputes the inner activations
+                # tile-wise, so no O(rows·inner) residual ever hits HBM
+                from ..kernels.fused_ff_block import ff_block
+                x = ff_block(x, p["ff"]["norm"]["g"], p["ff"]["w_in"]["w"],
+                             p["ff"]["inner_norm"]["g"], p["ff"]["w_out"]["w"])
+            else:
+                if ff_impl == "block":
+                    _warn_fallback("ff_impl='block'",
+                                   "ff_dropout > 0 in training mode (the "
+                                   "fused FF block has no dropout epilogue)")
+                x = feed_forward_apply(
+                    p["ff"], x, ff_dropout=ff_dropout, rngs=rngs,
+                    training=training, ff_impl=ff_impl,
+                    remat_wide=remat_wide) + x
         return x, (x if collect_hidden else None)
 
-    if training and checkpoint_during_training:
-        # remat_policy='dots' keeps weight-matmul outputs resident (MXU work
-        # is not recomputed in the backward pass; only cheap elementwise ops
-        # are) while still dropping the big attention score tensors — the
-        # usual TPU sweet spot between memory and recompute FLOPs
+    if training and checkpoint_during_training and remat_policy != "wide":
         policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
                   if remat_policy == "dots" else None)
         block = jax.checkpoint(block, policy=policy)
