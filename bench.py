@@ -68,18 +68,27 @@ def run(batch_size=256, steps=40, warmup=3, param_dtype=jnp.float32,
 def _is_oom(e: Exception) -> bool:
     s = str(e).lower()
     return any(k in s for k in ("resource_exhausted", "out of memory",
-                                "exceeds the memory", "allocat"))
+                                "exceeds the memory", "while allocating",
+                                "ran out of memory"))
 
 
 def main():
     import sys
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-    # fastest-first config ladder: unrolled layers without remat wins when it
-    # compiles/fits (+30% over scanned+remat); the remote TPU compiler rejects
-    # the no-remat graph above batch 256, so fall back to scanned+remat, then
-    # halve the batch
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    # fastest-first config ladder (r2 measurements, BASELINE.md):
+    #   1. whole-block Pallas kernels (fused whole-head attention + fused FF
+    #      block) + bf16 weights, unrolled, no remat — the r2 winner
+    #      (~1470 pairs/s @ b128)
+    #   2. same kernels with fp32 weights (~1415)
+    #   3. plain XLA unrolled no-remat (r1 winner, ~1390 @ b128)
+    #   4. scanned + remat (compiles everywhere), then halve the batch
     while batch >= 16:
-        for cfg in (dict(remat=False, scan_layers=False),
+        for cfg in (dict(remat=False, scan_layers=False,
+                         attn_impl="fused", ff_impl="block",
+                         param_dtype=jnp.bfloat16),
+                    dict(remat=False, scan_layers=False,
+                         attn_impl="fused", ff_impl="block"),
+                    dict(remat=False, scan_layers=False),
                     dict(remat=True, scan_layers=True)):
             try:
                 pairs_per_sec, loss = run(batch_size=batch, **cfg)

@@ -1,0 +1,66 @@
+"""Host-side input pipeline feed benchmark: JPEG decode → resize →
+tokenize → collate throughput, per worker count.
+
+Writes N synthetic 256px JPEGs + captions to a temp dir, then measures
+`TextImageLoader` end-to-end pairs/s (device placement excluded — arrays
+land on whatever jax.devices()[0] is, which is the same for every config).
+
+The 3k pairs/s north star needs `3000 / per_core_rate` host cores; this
+prints the measured per-core rate so the required host shape is arithmetic,
+not faith (docs/SCALING.md "Input pipeline" section records a run).
+
+Usage: python examples/bench_input.py [n_images] [image_size]
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+SIZE = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+
+
+def main():
+    from PIL import Image
+
+    from xclip_tpu.data import ImageFolderDataset, TextImageLoader
+
+    root = tempfile.mkdtemp(prefix="xclip-feed-bench-")
+    rng = np.random.RandomState(0)
+    for i in range(N):
+        arr = (rng.rand(SIZE + 32, SIZE + 32, 3) * 255).astype("uint8")
+        Image.fromarray(arr).save(os.path.join(root, f"{i:06d}.jpg"),
+                                  quality=85)
+        with open(os.path.join(root, f"{i:06d}.txt"), "w") as f:
+            f.write(f"a synthetic benchmark photo number {i}")
+
+    ds = ImageFolderDataset(root, image_size=SIZE)
+    ncpu = os.cpu_count() or 1
+    results = {}
+    for workers in sorted({0, 2, 4, ncpu}):
+        loader = TextImageLoader(ds, batch_size=64, context_length=77,
+                                 num_workers=workers, drop_remainder=False)
+        t0 = time.perf_counter()
+        n = sum(b["text"].shape[0] for b in loader)
+        dt = time.perf_counter() - t0
+        results[f"workers={workers}"] = round(n / dt, 1)
+        print(f"workers={workers}: {n / dt:.1f} pairs/s", flush=True)
+
+    best = max(results.values())
+    per_core = best / max(1, min(ncpu, 4))
+    print(json.dumps({
+        "metric": "input pipeline feed rate (jpeg decode+resize+tokenize)",
+        "image_size": SIZE, "host_cores": ncpu, "results": results,
+        "best_pairs_per_sec": best,
+        "cores_needed_for_3k": round(3000 / max(per_core, 1e-9), 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -62,10 +62,6 @@ def bytes_to_unicode():
     return dict(zip(bs, [chr(c) for c in cs]))
 
 
-def _get_pairs(word):
-    return {(a, b) for a, b in zip(word, word[1:])}
-
-
 def _whitespace_clean(text: str) -> str:
     return re.sub(r"\s+", " ", text).strip()
 
@@ -117,40 +113,35 @@ class SimpleTokenizer:
 
     # ------------------------------------------------------------------ BPE
     def bpe(self, token: str) -> str:
+        """Greedy lowest-rank merging, token-exact with OpenAI CLIP's BPE
+        (verified by golden tests): repeatedly pick the adjacent pair with
+        the best merge rank and fuse every left-to-right non-overlapping
+        occurrence, until no adjacent pair has a rank. The last symbol
+        carries the `</w>` end-of-word marker."""
         if token in self.cache:
             return self.cache[token]
-        word = tuple(token[:-1]) + (token[-1] + "</w>",)
-        pairs = _get_pairs(word)
-        if not pairs:
-            return token + "</w>"
+        parts = list(token[:-1]) + [token[-1] + "</w>"]
 
-        while True:
-            bigram = min(pairs, key=lambda p: self.bpe_ranks.get(p, float("inf")))
-            if bigram not in self.bpe_ranks:
+        no_rank = float("inf")
+        while len(parts) > 1:
+            ranks = [self.bpe_ranks.get(pair, no_rank)
+                     for pair in zip(parts, parts[1:])]
+            best = min(range(len(ranks)), key=ranks.__getitem__)
+            if ranks[best] == no_rank:
                 break
-            first, second = bigram
-            new_word = []
-            i = 0
-            while i < len(word):
-                try:
-                    j = word.index(first, i)
-                except ValueError:
-                    new_word.extend(word[i:])
-                    break
-                new_word.extend(word[i:j])
-                i = j
-                if word[i] == first and i < len(word) - 1 and word[i + 1] == second:
-                    new_word.append(first + second)
+            first, second = parts[best], parts[best + 1]
+            fused, i = [], 0
+            while i < len(parts):
+                if (parts[i] == first and i + 1 < len(parts)
+                        and parts[i + 1] == second):
+                    fused.append(first + second)
                     i += 2
                 else:
-                    new_word.append(word[i])
+                    fused.append(parts[i])
                     i += 1
-            word = tuple(new_word)
-            if len(word) == 1:
-                break
-            pairs = _get_pairs(word)
+            parts = fused
 
-        result = " ".join(word)
+        result = " ".join(parts)
         self.cache[token] = result
         return result
 

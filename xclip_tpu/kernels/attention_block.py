@@ -69,11 +69,15 @@ def _per_head_scores(q, k, mask_row, scale, causal):
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
-                *, scale, causal, dim_head, hpg):
+                *, scale, causal, dim_head, hpg, n_rows):
+    # only the first n_rows (real sequence, sublane-aligned) of the padded
+    # q block are computed — the tail rows are zero-filled, skipping ~1/3 of
+    # the score/softmax work at the flagship 257→384 padding
     outs, lses = [], []
     for i in range(hpg):
         sl = slice(i * dim_head, (i + 1) * dim_head)
-        q, k, v = q_ref[0][:, sl], k_ref[0][:, sl], v_ref[0][:, sl]
+        q = q_ref[0][:n_rows, sl]
+        k, v = k_ref[0][:, sl], v_ref[0][:, sl]
         s = _per_head_scores(q, k, mask_ref[0], scale, causal)
         m = jnp.max(s, axis=-1, keepdims=True)
         m_safe = jnp.where(m == _NEG_INF, 0.0, m)
@@ -83,20 +87,27 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
             (p / l).astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32))
         lses.append(m_safe + jnp.log(l))
-    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
-    lse_ref[0, 0] = jnp.concatenate(lses, axis=-1)
+    n_pad = q_ref.shape[1]
+    o_ref[0, :n_rows] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+    lse_ref[0, 0, :n_rows] = jnp.concatenate(lses, axis=-1)
+    if n_rows < n_pad:
+        o_ref[0, n_rows:] = jnp.zeros_like(o_ref[0, n_rows:])
+        lse_ref[0, 0, n_rows:] = jnp.zeros_like(lse_ref[0, 0, n_rows:])
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, lse_ref, o_ref, do_ref,
-                dq_ref, dk_ref, dv_ref, *, scale, causal, dim_head, hpg):
+                dq_ref, dk_ref, dv_ref, *, scale, causal, dim_head, hpg,
+                n_rows):
+    n_pad = q_ref.shape[1]
     dqs, dks, dvs = [], [], []
     for i in range(hpg):
         sl = slice(i * dim_head, (i + 1) * dim_head)
-        q, k, v = q_ref[0][:, sl], k_ref[0][:, sl], v_ref[0][:, sl]
-        do = do_ref[0][:, sl]
+        q = q_ref[0][:n_rows, sl]
+        k, v = k_ref[0][:, sl], v_ref[0][:, sl]
+        do = do_ref[0][:n_rows, sl]
         do32 = do.astype(jnp.float32)
-        out = o_ref[0][:, sl].astype(jnp.float32)
-        lse = lse_ref[0, 0][:, i:i + 1]
+        out = o_ref[0][:n_rows, sl].astype(jnp.float32)
+        lse = lse_ref[0, 0][:n_rows, i:i + 1]
 
         s = _per_head_scores(q, k, mask_ref[0], scale, causal)
         p = jnp.exp(s - lse)
@@ -113,9 +124,11 @@ def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, lse_ref, o_ref, do_ref,
         dvs.append(jax.lax.dot_general(p.astype(do.dtype), do,
                                        (((0,), (0,)), ((), ())),
                                        preferred_element_type=jnp.float32))
-    dq_ref[0] = jnp.concatenate(dqs, axis=-1).astype(dq_ref.dtype)
+    dq_ref[0, :n_rows] = jnp.concatenate(dqs, axis=-1).astype(dq_ref.dtype)
     dk_ref[0] = jnp.concatenate(dks, axis=-1).astype(dk_ref.dtype)
     dv_ref[0] = jnp.concatenate(dvs, axis=-1).astype(dv_ref.dtype)
+    if n_rows < n_pad:
+        dq_ref[0, n_rows:] = jnp.zeros_like(dq_ref[0, n_rows:])
 
 
 def _group_specs(n_groups, n_pad, gw):
@@ -158,9 +171,10 @@ def _attention_fwd(qkv, mask, heads, dim_head, scale, causal, interpret):
     hpg = heads_per_group(dim_head)
     n_groups, gw = heads // hpg, hpg * dim_head
 
+    n_rows = min(_round_up(n, 16), n_pad)
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, causal=causal,
-                          dim_head=dim_head, hpg=hpg),
+                          dim_head=dim_head, hpg=hpg, n_rows=n_rows),
         grid=(b, n_groups),
         in_specs=_group_specs(n_groups, n_pad, gw),
         out_specs=[
@@ -186,9 +200,10 @@ def _attention_bwd(heads, dim_head, scale, causal, interpret, res, dout):
     n_groups, gw = heads // hpg, hpg * dim_head
     do_p = jnp.pad(dout.astype(qkv_p.dtype), ((0, 0), (0, n_pad - n), (0, 0)))
 
+    n_rows = min(_round_up(n, 16), n_pad)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale, causal=causal,
-                          dim_head=dim_head, hpg=hpg),
+                          dim_head=dim_head, hpg=hpg, n_rows=n_rows),
         grid=(b, n_groups),
         in_specs=_group_specs(n_groups, n_pad, gw) + [
             pl.BlockSpec((1, 1, n_pad, hpg), lambda b, g: (g, b, 0, 0)),
