@@ -154,3 +154,40 @@ def test_model_loss_and_grads_invariant_to_impl(variant):
     mx = max(jax.tree.leaves(jax.tree.map(
         lambda a, b: float(jnp.max(jnp.abs(a - b))), g0, g1)))
     assert mx < 5e-4, mx
+
+
+def _mega_ref(x, g_pre, w_qkv, w_out, g_out, mask, heads, d, scale, causal):
+    xn = layer_norm_apply({"g": g_pre}, x)
+    out = _attn_ref(xn @ w_qkv, mask, heads, d, scale, causal)
+    return x + layer_norm_apply({"g": g_out}, out @ w_out)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_attention_megablock_matches_xla(causal):
+    from xclip_tpu.kernels.attention_megablock import attention_block
+
+    npr = np.random.RandomState(2)
+    b, n, heads, d, dim = 3, 19, 4, 16, 64
+    x = jnp.asarray(npr.randn(b, n, dim).astype(np.float32)) * 0.5
+    g_pre = jnp.asarray(1 + 0.1 * npr.randn(dim).astype(np.float32))
+    w_qkv = jnp.asarray(npr.randn(dim, 3 * heads * d).astype(np.float32)) / 8
+    w_out = jnp.asarray(npr.randn(heads * d, dim).astype(np.float32)) / 8
+    g_out = jnp.asarray(1 + 0.1 * npr.randn(dim).astype(np.float32))
+    mask = jnp.asarray(npr.rand(b, n) > 0.2).at[:, 0].set(True)
+    scale = d ** -0.5
+
+    args = (x, g_pre, w_qkv, w_out, g_out, mask)
+    out_k = attention_block(*args, heads, d, scale, causal)
+    out_r = _mega_ref(*args, heads, d, scale, causal)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
+                               atol=5e-5)
+
+    gk = jax.grad(lambda a: (attention_block(*a, mask, heads, d, scale,
+                                             causal) ** 2).sum())(args[:5])
+    gr = jax.grad(lambda a: (_mega_ref(*a, mask, heads, d, scale,
+                                       causal) ** 2).sum())(args[:5])
+    for name, ka, ra in zip(["dx", "dg_pre", "dw_qkv", "dw_out", "dg_out"],
+                            gk, gr):
+        rel = float(jnp.max(jnp.abs(ka - ra))) / (
+            float(jnp.max(jnp.abs(ra))) + 1e-9)
+        assert rel < 5e-4, (name, rel)

@@ -1,0 +1,308 @@
+"""Whole-attention-block Pallas TPU kernel: PreNorm LayerNorm → fused qkv
+projection → per-head attention → output projection → output LayerNorm →
+residual, one batch element per grid step, entirely in VMEM.
+
+This subsumes kernels/attention_block.py for the non-rotary case (the
+dominant one: the flagship text tower uses absolute positions, the vision
+tower always). Relative to that kernel it additionally absorbs the qkv
+matmul, the output projection, both LayerNorms, and the residual add — per
+layer the only HBM traffic is x in, out out, weights (resident across the
+sequential grid), and the per-row LSE saved for backward.
+
+The backward is a SINGLE kernel per layer: with dim 512 towers the weight
+gradient accumulators (dW_qkv 512×1536 + dW_out 512×512, fp32) fit in VMEM
+as constant-index output blocks, so — unlike the fused FF block, whose
+4096-wide dW needs a second column-blocked pass — everything (dx, dW_qkv,
+dW_out, dg_pre, dg_out) accumulates in one recompute pass. `supported()`
+gates on the implied VMEM budget.
+
+Semantics match `nn.layers.attention_apply`'s XLA path (key-padding +
+causal masks, fp32 softmax, scale on scores, dtype-eps LayerNorms, fp32 LN
+statistics). Sequence padded to 128; only the first `n_rows` (16-aligned)
+rows are computed.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+_NEG_INF = float(-jnp.inf)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _eps_for(dtype) -> float:
+    return 1e-5 if dtype == jnp.float32 else 1e-3
+
+
+def supported(heads: int, dim_head: int, dim: int, n_pad: int,
+              dtype) -> bool:
+    """VMEM budget check: weights + fp32 dW accumulators + working tiles.
+    Conservative 14MB cap against the 16MB scoped limit."""
+    itemsize = 2 if dtype == jnp.bfloat16 else 4
+    inner = heads * dim_head
+    weights = dim * 3 * inner * itemsize + inner * dim * itemsize
+    dw = (dim * 3 * inner + inner * dim) * 4
+    tiles = n_pad * (dim * 4 + 6 * inner) * itemsize + n_pad * n_pad * 4
+    return weights + dw + 2 * tiles < 14 * 1024 * 1024
+
+
+def _ln_fp32(x32, g32, eps):
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    c = x32 - mean
+    var = jnp.mean(c * c, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = c * inv
+    return xhat * g32, xhat, inv
+
+
+def _ln_bwd(dy, xhat, inv, g32):
+    """Gain-only LayerNorm vjp → (dx, dg_rowsum)."""
+    dg = jnp.sum(dy * xhat, axis=0, keepdims=True)
+    dxhat = dy * g32
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    return inv * (dxhat - m1 - xhat * m2), dg
+
+
+def _masked_scores(q, k, mask_row, scale, causal):
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    valid = jnp.broadcast_to(mask_row > 0, s.shape)
+    if causal:
+        rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        valid = valid & (cols <= rows)
+    return jnp.where(valid, s, _NEG_INF)
+
+
+def _dot(a, b, *, ta=False, tb=False):
+    dims = (((0 if ta else 1,), (1 if tb else 0,)), ((), ()))
+    return jax.lax.dot_general(a, b, dims,
+                               preferred_element_type=jnp.float32)
+
+
+def _fwd_common(x, gpre32, wqkv, mask_row, scale, causal, heads, dim_head,
+                n_rows, eps):
+    """Shared fwd recompute: returns (xhat_pre, inv_pre, xn, qkv,
+    per-head (q, k, v, p, o) list, attnout)."""
+    x32 = x[:n_rows].astype(jnp.float32)
+    xn32, xhat_pre, inv_pre = _ln_fp32(x32, gpre32, eps)
+    xn = xn32.astype(x.dtype)
+    qkv = _dot(xn, wqkv).astype(x.dtype)          # (n_rows, 3·h·d)
+    mask_row = mask_row[:, :n_rows]               # keys exist for n_rows only
+    hd = heads * dim_head
+    po = []
+    for h in range(heads):
+        q = qkv[:, h * dim_head:(h + 1) * dim_head]
+        k = qkv[:, hd + h * dim_head:hd + (h + 1) * dim_head]
+        v = qkv[:, 2 * hd + h * dim_head:2 * hd + (h + 1) * dim_head]
+        s = _masked_scores(q, k, mask_row, scale, causal)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        m_safe = jnp.where(m == _NEG_INF, 0.0, m)
+        p = jnp.exp(s - m_safe)
+        l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+        p = p / l
+        o = _dot(p.astype(v.dtype), v)            # fp32 (n_rows, d)
+        po.append((q, k, v, p, o))
+    attnout = jnp.concatenate([o for (_, _, _, _, o) in po],
+                              axis=-1).astype(x.dtype)
+    return xhat_pre, inv_pre, xn, qkv, po, attnout
+
+
+def _fwd_kernel(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref, mask_ref,
+                o_ref, *, scale, causal, heads, dim_head, n_rows, eps):
+    x = x_ref[0]
+    gpre32 = gpre_ref[...].astype(jnp.float32)
+    gout32 = gout_ref[...].astype(jnp.float32)
+
+    _, _, _, _, po, attnout = _fwd_common(
+        x, gpre32, wqkv_ref[...], mask_ref[0], scale, causal, heads,
+        dim_head, n_rows, eps)
+
+    proj = _dot(attnout, wout_ref[...])           # fp32 (n_rows, dim)
+    y32, _, _ = _ln_fp32(proj, gout32, eps)
+    o_ref[0, :n_rows] = y32.astype(o_ref.dtype) + x[:n_rows]
+    n_pad = x.shape[0]
+    if n_rows < n_pad:
+        o_ref[0, n_rows:] = jnp.zeros_like(o_ref[0, n_rows:])
+
+
+def _bwd_kernel(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref, mask_ref,
+                do_ref,
+                dx_ref, dwqkv_ref, dwout_ref, dgpre_ref, dgout_ref,
+                *, scale, causal, heads, dim_head, n_rows, eps, num_b):
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _init():
+        dwqkv_ref[...] = jnp.zeros_like(dwqkv_ref)
+        dwout_ref[...] = jnp.zeros_like(dwout_ref)
+        dgpre_ref[...] = jnp.zeros_like(dgpre_ref)
+        dgout_ref[...] = jnp.zeros_like(dgout_ref)
+
+    x = x_ref[0]
+    do = do_ref[0][:n_rows].astype(jnp.float32)
+    gpre32 = gpre_ref[...].astype(jnp.float32)
+    gout32 = gout_ref[...].astype(jnp.float32)
+    hd = heads * dim_head
+
+    xhat_pre, inv_pre, xn, qkv, po, attnout = _fwd_common(
+        x, gpre32, wqkv_ref[...], mask_ref[0], scale, causal, heads,
+        dim_head, n_rows, eps)
+    # re-derive out-LN stats from the recomputed projection
+    proj = _dot(attnout, wout_ref[...])
+    mean_o = jnp.mean(proj, axis=-1, keepdims=True)
+    c_o = proj - mean_o
+    var_o = jnp.mean(c_o * c_o, axis=-1, keepdims=True)
+    inv_o = jax.lax.rsqrt(var_o + eps)
+    xhat_o = c_o * inv_o
+
+    # out LayerNorm backward (residual handled at the end)
+    dproj, dg_out = _ln_bwd(do, xhat_o, inv_o, gout32)
+    dgout_ref[...] += dg_out
+
+    dattn = _dot(dproj.astype(x.dtype), wout_ref[...], tb=True)
+    dwout_ref[...] += _dot(attnout, dproj.astype(x.dtype), ta=True)
+
+    # per-head attention backward using the forward-saved lse is implicit:
+    # p was recomputed above with the identical max/normalizer math
+    dqkv_parts_q, dqkv_parts_k, dqkv_parts_v = [], [], []
+    for h in range(heads):
+        q, k, v, p, o = po[h]
+        do_h = dattn[:, h * dim_head:(h + 1) * dim_head].astype(jnp.float32)
+        delta = jnp.sum(do_h * o, axis=-1, keepdims=True)
+        dp = _dot(do_h.astype(v.dtype), v, tb=True)
+        ds = (p * (dp - delta) * scale).astype(x.dtype)
+        dqkv_parts_q.append(_dot(ds, k))
+        dqkv_parts_k.append(_dot(ds, q, ta=True))
+        dqkv_parts_v.append(_dot(p.astype(x.dtype), do_h.astype(x.dtype),
+                                 ta=True))
+    dqkv = jnp.concatenate(
+        dqkv_parts_q + dqkv_parts_k + dqkv_parts_v, axis=-1).astype(x.dtype)
+
+    dxn = _dot(dqkv, wqkv_ref[...], tb=True)
+    dwqkv_ref[...] += _dot(xn, dqkv, ta=True)
+
+    dx_pre, dg_pre = _ln_bwd(dxn, xhat_pre, inv_pre, gpre32)
+    dgpre_ref[...] += dg_pre
+
+    dx_ref[0, :n_rows] = (dx_pre + do).astype(dx_ref.dtype)
+    n_pad = x.shape[0]
+    if n_rows < n_pad:
+        dx_ref[0, n_rows:] = jnp.zeros_like(dx_ref[0, n_rows:])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+def attention_block(x, g_pre, w_qkv, w_out, g_out, mask,
+                    heads, dim_head, scale, causal=False, interpret=None):
+    """x: (b, n, dim); returns x + LN(W_out · attention(LN(x)·W_qkv)).
+    Differentiable w.r.t. the five tensor arguments."""
+    out, _ = _mega_fwd(x, g_pre, w_qkv, w_out, g_out, mask,
+                       heads, dim_head, scale, causal, interpret)
+    return out
+
+
+def _prep(x, mask, interpret):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, n, _ = x.shape
+    n_pad = _round_up(n, 128)
+    x_p = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
+    key_valid = jnp.pad(mask, ((0, 0), (0, n_pad - n)))
+    key_valid = key_valid.reshape(b, 1, n_pad).astype(jnp.int32)
+    return x_p, key_valid, n, n_pad, interpret
+
+
+def _mega_fwd(x, g_pre, w_qkv, w_out, g_out, mask,
+              heads, dim_head, scale, causal, interpret):
+    x_p, key_valid, n, n_pad, interp = _prep(x, mask, interpret)
+    b, _, dim = x_p.shape
+    n_rows = min(_round_up(n, 16), n_pad)
+    eps = _eps_for(x.dtype)
+
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, causal=causal,
+                          heads=heads, dim_head=dim_head, n_rows=n_rows,
+                          eps=eps),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n_pad, dim), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, dim), lambda i: (0, 0)),
+            pl.BlockSpec(w_qkv.shape, lambda i: (0, 0)),
+            pl.BlockSpec(w_out.shape, lambda i: (0, 0)),
+            pl.BlockSpec((1, dim), lambda i: (0, 0)),
+            pl.BlockSpec((1, 1, n_pad), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, n_pad, dim), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, dim), x.dtype),
+        interpret=interp,
+    )(x_p, g_pre[None, :], w_qkv, w_out, g_out[None, :], key_valid)
+    return out[:, :n], (x_p, key_valid)
+
+
+# the weights are needed in the backward: carry them as residuals
+def _mega_fwd_vjp(x, g_pre, w_qkv, w_out, g_out, mask,
+                  heads, dim_head, scale, causal, interpret):
+    out, (x_p, key_valid) = _mega_fwd(
+        x, g_pre, w_qkv, w_out, g_out, mask,
+        heads, dim_head, scale, causal, interpret)
+    return out, (x_p, key_valid, g_pre, w_qkv, w_out, g_out, x.shape)
+
+
+def _mega_bwd_vjp(heads, dim_head, scale, causal, interpret, res, dout):
+    x_p, key_valid, g_pre, w_qkv, w_out, g_out, x_shape = res
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, n_pad, dim = x_p.shape
+    n = x_shape[1]
+    n_rows = min(_round_up(n, 16), n_pad)
+    eps = _eps_for(x_p.dtype)
+    hd = heads * dim_head
+    do_p = jnp.pad(dout.astype(x_p.dtype), ((0, 0), (0, n_pad - n), (0, 0)))
+
+    dx, dwqkv, dwout, dgpre, dgout = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale, causal=causal,
+                          heads=heads, dim_head=dim_head, n_rows=n_rows,
+                          eps=eps, num_b=b),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n_pad, dim), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, dim), lambda i: (0, 0)),
+            pl.BlockSpec((dim, 3 * hd), lambda i: (0, 0)),
+            pl.BlockSpec((hd, dim), lambda i: (0, 0)),
+            pl.BlockSpec((1, dim), lambda i: (0, 0)),
+            pl.BlockSpec((1, 1, n_pad), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, n_pad, dim), lambda i: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n_pad, dim), lambda i: (i, 0, 0)),
+            pl.BlockSpec((dim, 3 * hd), lambda i: (0, 0)),
+            pl.BlockSpec((hd, dim), lambda i: (0, 0)),
+            pl.BlockSpec((1, dim), lambda i: (0, 0)),
+            pl.BlockSpec((1, dim), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n_pad, dim), x_p.dtype),
+            jax.ShapeDtypeStruct((dim, 3 * hd), jnp.float32),
+            jax.ShapeDtypeStruct((hd, dim), jnp.float32),
+            jax.ShapeDtypeStruct((1, dim), jnp.float32),
+            jax.ShapeDtypeStruct((1, dim), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x_p, g_pre[None, :], w_qkv, w_out, g_out[None, :], key_valid, do_p)
+
+    dmask = np.zeros((b, n), dtype=jax.dtypes.float0)
+    return (dx[:, :n], dgpre[0].astype(g_pre.dtype),
+            dwqkv.astype(w_qkv.dtype), dwout.astype(w_out.dtype),
+            dgout[0].astype(g_out.dtype), dmask)
+
+
+attention_block.defvjp(_mega_fwd_vjp, _mega_bwd_vjp)

@@ -306,15 +306,35 @@ def transformer_apply(params, x, *, heads: int, dim_head: int,
     remat_wide = (training and checkpoint_during_training
                   and remat_policy == "wide")
 
+    use_mega = False
+    if attn_impl == "fused" and rotary is None and not (
+            training and attn_dropout > 0.0):
+        from ..kernels.attention_megablock import supported as _mega_ok
+        n_pad = ((x.shape[1] + 127) // 128) * 128
+        use_mega = _mega_ok(heads, dim_head, x.shape[-1], n_pad, x.dtype)
+
     def block(x, layer):
         p, lrng = layer
         rngs = RngStream(lrng) if needs_dropout_rng else None
         with jax.named_scope("attention"):
-            x = attention_apply(
-                p["attn"], x, heads=heads, dim_head=dim_head, causal=causal,
-                mask=mask, rotary=rotary, attn_dropout=attn_dropout,
-                rngs=rngs, training=training, attn_impl=attn_impl,
-                remat_wide=remat_wide) + x
+            if use_mega:
+                # whole-attention-block kernel (attention_megablock.py):
+                # PreNorm + qkv proj + all heads + out proj + out LN +
+                # residual in one pallas_call; single-kernel backward with
+                # in-VMEM dW accumulation
+                from ..kernels.attention_megablock import attention_block
+                key_mask = (mask if mask is not None
+                            else jnp.ones(x.shape[:2], dtype=bool))
+                x = attention_block(
+                    x, p["attn"]["norm"]["g"], p["attn"]["to_qkv"]["w"],
+                    p["attn"]["to_out"]["w"], p["attn"]["out_norm"]["g"],
+                    key_mask, heads, dim_head, dim_head ** -0.5, causal)
+            else:
+                x = attention_apply(
+                    p["attn"], x, heads=heads, dim_head=dim_head,
+                    causal=causal, mask=mask, rotary=rotary,
+                    attn_dropout=attn_dropout, rngs=rngs, training=training,
+                    attn_impl=attn_impl, remat_wide=remat_wide) + x
         with jax.named_scope("feed_forward"):
             if ff_impl == "block" and not (training and ff_dropout > 0.0
                                            and rngs):
