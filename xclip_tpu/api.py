@@ -8,9 +8,12 @@ JAX-specific additions (keyword-only, all optional):
   * `param_dtype`  — parameter dtype (default float32)
   * `compute_dtype` — e.g. 'bfloat16': params/images cast at apply entry,
     fp32 statistics kept in registers (see docs/DESIGN.md)
-  * `attn_impl`    — 'xla' (default) or 'flash' (Pallas; wins at seq ≳2k)
+  * `attn_impl`    — 'xla' (default); 'fused' = whole-attention-block
+    Pallas kernels (megablock/head-group, the short-seq winners — see
+    README Performance); 'flash' = k-blocked flash (long seq, ≳2k)
   * `loss_impl`    — 'xla' (default) or 'fused' (Pallas streaming-LSE)
-  * `ff_impl`      — 'xla' (default) or 'fused' (Pallas GEGLU+inner-LN)
+  * `ff_impl`      — 'xla' (default); 'block' = whole-FF-block Pallas
+    kernel (LN+GEGLU+LN+matmuls+residual); 'fused' = GEGLU+inner-LN only
   * `filip_block`  — column-block the FILIP score reductions
   * `scan_layers`  — False unrolls the layer loop (fastest with no remat)
   * `remat_policy` — None or 'dots' (with checkpoint_during_training)

