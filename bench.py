@@ -90,17 +90,26 @@ def main():
                          attn_impl="fused", ff_impl="block"),
                     dict(remat=False, scan_layers=False),
                     dict(remat=True, scan_layers=True)):
-            try:
-                pairs_per_sec, loss = run(batch_size=batch, **cfg)
+            ok = False
+            # the remote compile service 500s transiently — one retry per
+            # rung before falling down the ladder
+            for attempt in range(2):
+                try:
+                    pairs_per_sec, loss = run(batch_size=batch, **cfg)
+                    ok = True
+                    break
+                except Exception as e:
+                    # fall back only on capacity failures (device OOM or the
+                    # remote compiler rejecting the graph); real bugs re-raise
+                    if not (_is_oom(e) or "remote_compile" in str(e)):
+                        raise
+                    print(f"# batch {batch} {cfg} attempt {attempt} failed "
+                          f"({type(e).__name__}: {str(e)[:80]})",
+                          file=sys.stderr)
+                    if _is_oom(e):
+                        break          # deterministic — don't retry
+            if ok:
                 break
-            except Exception as e:
-                # fall back only on capacity failures (device OOM or the
-                # remote compiler rejecting the graph); real bugs re-raise
-                if not (_is_oom(e) or "remote_compile" in str(e)):
-                    raise
-                print(f"# batch {batch} {cfg} failed "
-                      f"({type(e).__name__}: {str(e)[:80]}), falling back",
-                      file=sys.stderr)
         else:
             batch //= 2
             continue
