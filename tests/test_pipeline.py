@@ -198,3 +198,16 @@ def test_streaming_shuffle_sees_every_example_once():
                                            context_length=16)))
     assert sorted(texts) == sorted(plain)                  # a permutation
     assert texts != plain                                  # actually shuffled
+
+
+def test_loader_shards_emit_equal_batch_counts():
+    """SPMD lockstep: every process must emit the SAME number of batches
+    even when shard_count does not divide the dataset (a host with one
+    extra batch would deadlock the others in the collectives)."""
+    examples = make_examples(11)            # 2 shards of 6 and 5 -> clamp to 5
+    counts = []
+    for idx in range(2):
+        loader = TextImageLoader(examples, batch_size=5, context_length=16,
+                                 shard_count=2, shard_index=idx)
+        counts.append(len(list(loader)))
+    assert counts[0] == counts[1] == 1

@@ -113,7 +113,11 @@ class TextImageLoader:
             # same global permutation on every host (seed ⊕ epoch), then a
             # disjoint strided slice per host
             np.random.RandomState(self.shuffle_seed + epoch).shuffle(order)
-        return order[self.shard_index::self.shard_count]
+        shard = order[self.shard_index::self.shard_count]
+        # every shard must be the SAME length (SPMD lockstep: a host with
+        # one extra example could emit one extra batch and deadlock the
+        # collective-running hosts) — truncate to the shortest shard
+        return shard[: n // self.shard_count]
 
     def _indexed_batches(self, pool) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         src = self._examples
