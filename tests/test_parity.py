@@ -278,3 +278,37 @@ def test_forward_flag_surface_matches_reference():
         assert name in our_sig.parameters, f"missing forward flag: {name}"
         if p.default is not inspect.Parameter.empty:
             assert our_sig.parameters[name].default == p.default, name
+
+
+def test_pallas_kernel_paths_match_reference():
+    """The whole-block Pallas kernels (attention megablock + fused FF block)
+    vs the PyTorch reference DIRECTLY, with transferred weights — not just
+    vs our own XLA path. Head config sized so the kernels engage
+    (attention_megablock.supported)."""
+    from reference_shim import transfer_clip
+    from xclip_tpu import CLIP as JClip
+
+    cfg = dict(
+        dim_text=64, dim_image=64, dim_latent=64, num_text_tokens=100,
+        text_enc_depth=2, text_seq_len=16, text_heads=8, text_dim_head=16,
+        visual_enc_depth=2, visual_heads=8, visual_dim_head=16,
+        visual_image_size=32, visual_patch_size=16, visual_patch_dropout=0.0,
+    )
+    torch.manual_seed(0)
+    ref = x_clip.CLIP(**cfg)
+    ref.train()
+    jclip = JClip(**cfg, attn_impl="fused", ff_impl="block")
+    params = transfer_clip(ref)
+    for k in jclip.params:
+        params.setdefault(k, jclip.params[k])
+
+    (t_text, t_img), (j_text, j_img) = padded_batch()
+    r_loss = ref(t_text, t_img, return_loss=True)
+    o_loss = jclip(j_text, j_img, return_loss=True, params=params)
+    assert_close(r_loss, o_loss)
+
+    ref.eval()
+    with torch.no_grad():
+        r_scores = ref(t_text, t_img)
+    o_scores = jclip(j_text, j_img, params=params)
+    assert_close(r_scores, o_scores)
