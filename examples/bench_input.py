@@ -43,7 +43,7 @@ def main():
     ds = ImageFolderDataset(root, image_size=SIZE)
     ncpu = os.cpu_count() or 1
     results = {}
-    for workers in sorted({0, 2, 4, ncpu}):
+    for workers in sorted({0, 1, 2, 4, ncpu}):
         loader = TextImageLoader(ds, batch_size=64, context_length=77,
                                  num_workers=workers, drop_remainder=False)
         t0 = time.perf_counter()
@@ -53,11 +53,15 @@ def main():
         print(f"workers={workers}: {n / dt:.1f} pairs/s", flush=True)
 
     best = max(results.values())
-    per_core = best / max(1, min(ncpu, 4))
+    # per-core rate = the single-worker rate (a worker count above the core
+    # count only interleaves; dividing the best rate by an arbitrary worker
+    # count would overstate per-core throughput)
+    per_core = max(results["workers=0"], results["workers=1"])
     print(json.dumps({
         "metric": "input pipeline feed rate (jpeg decode+resize+tokenize)",
         "image_size": SIZE, "host_cores": ncpu, "results": results,
         "best_pairs_per_sec": best,
+        "per_core_pairs_per_sec": per_core,
         "cores_needed_for_3k": round(3000 / max(per_core, 1e-9), 1),
     }))
 

@@ -191,3 +191,44 @@ def test_attention_megablock_matches_xla(causal):
         rel = float(jnp.max(jnp.abs(ka - ra))) / (
             float(jnp.max(jnp.abs(ra))) + 1e-9)
         assert rel < 5e-4, (name, rel)
+
+
+def test_fully_masked_row_matches_xla_semantics():
+    """An all-padding caption (all-False mask row) must produce the same
+    output and grads as the XLA path, which softmaxes a constant
+    -finfo.max row into UNIFORM attention (not zeros)."""
+    from xclip_tpu.kernels.attention_megablock import attention_block
+
+    npr = np.random.RandomState(3)
+    b, n, heads, d, dim = 2, 9, 4, 16, 64
+    x = jnp.asarray(npr.randn(b, n, dim).astype(np.float32)) * 0.5
+    g = jnp.ones((dim,), jnp.float32)
+    w_qkv = jnp.asarray(npr.randn(dim, 3 * heads * d).astype(np.float32)) / 8
+    w_out = jnp.asarray(npr.randn(heads * d, dim).astype(np.float32)) / 8
+    mask = jnp.ones((b, n), dtype=bool).at[1].set(False)   # row 1 dead
+    scale = d ** -0.5
+
+    out_k = attention_block(x, g, w_qkv, w_out, g, mask, heads, d, scale,
+                            False)
+    out_r = _mega_ref(x, g, w_qkv, w_out, g, mask, heads, d, scale, False)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
+                               atol=5e-5)
+
+    gk = jax.grad(lambda q: (attention_block(q, g, w_qkv, w_out, g, mask,
+                                             heads, d, scale, False) ** 2
+                             ).sum())(x)
+    gr = jax.grad(lambda q: (_mega_ref(q, g, w_qkv, w_out, g, mask, heads,
+                                       d, scale, False) ** 2).sum())(x)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), atol=1e-3)
+
+    # the head-group kernel too
+    qkv = jnp.asarray(npr.randn(b, n, 3 * 8 * 16).astype(np.float32))
+    out_g = attention_core(qkv, mask, 8, 16, scale, False)
+    out_gr = _attn_ref(qkv, mask, 8, 16, scale, False)
+    np.testing.assert_allclose(np.asarray(out_g), np.asarray(out_gr),
+                               atol=5e-5)
+    gg = jax.grad(lambda q: (attention_core(q, mask, 8, 16, scale,
+                                            False) ** 2).sum())(qkv)
+    ggr = jax.grad(lambda q: (_attn_ref(q, mask, 8, 16, scale,
+                                        False) ** 2).sum())(qkv)
+    np.testing.assert_allclose(np.asarray(gg), np.asarray(ggr), atol=1e-3)

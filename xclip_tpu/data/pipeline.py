@@ -8,9 +8,10 @@ sharded over a mesh's 'data' axis) ahead of use, so host work overlaps
 device compute.
 
 Scaling model (docs/SCALING.md has the arithmetic): per-example cost is
-dominated by JPEG decode + resize (~1-3 ms/image/core at 256px); the pool
-parallelizes it across `num_workers` threads (PIL and numpy release the GIL)
-and the 3k pairs/s north star needs on the order of 8-16 host cores. Every
+dominated by JPEG decode + resize (~131 pairs/s/core measured at 256px via
+examples/bench_input.py); the pool parallelizes it across `num_workers`
+threads (PIL and numpy release the GIL) and the 3k pairs/s north star needs
+~23 host cores (a standard v5e host VM has 112 vCPUs). Every
 stage is per-host: on multihost, each process decodes only ITS shard of the
 example stream (disjoint `shard_index::shard_count` slices — no duplicated
 data, no cross-host traffic).
@@ -92,6 +93,23 @@ class TextImageLoader:
                             else jax.process_index())
         assert 0 <= self.shard_index < self.shard_count
 
+        # fail at construction, not an epoch into training: the streamed
+        # (non-indexable) path can neither shard the example stream across
+        # processes nor replay a bare iterator for further epochs
+        if not _is_indexable(examples):
+            if self.shard_count > 1:
+                raise ValueError(
+                    "shard_count > 1 requires an indexable dataset "
+                    "(__len__ + __getitem__, e.g. ImageFolderDataset): a "
+                    "bare iterable cannot be partitioned across processes, "
+                    "and silently duplicating the stream on every host is "
+                    "exactly the multihost bug this parameter prevents")
+            if num_epochs != 1 and not callable(examples):
+                raise ValueError(
+                    "multi-epoch iteration needs an indexable dataset or a "
+                    "factory callable returning a fresh iterator; a bare "
+                    "iterator cannot be replayed")
+
     # ------------------------------------------------------------- collate
     def _collate(self, texts, images) -> Tuple[np.ndarray, np.ndarray]:
         if isinstance(texts[0], str):
@@ -150,11 +168,6 @@ class TextImageLoader:
                 it = self._buffered_shuffle(it, epoch)
             yield from it
             epoch += 1
-            if not callable(self._examples) and (
-                    self.num_epochs is None or self.num_epochs > 1):
-                raise ValueError(
-                    "multi-epoch iteration over a bare iterator: pass a "
-                    "factory (callable) or an indexable dataset")
 
     def _buffered_shuffle(self, it, epoch: int):
         rs = np.random.RandomState(self.shuffle_seed + epoch)

@@ -40,11 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-_NEG_INF = float(-jnp.inf)
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from ._common import NEG_INF as _NEG_INF, round_up as _round_up
 
 
 def heads_per_group(dim_head: int) -> int:
@@ -68,20 +64,43 @@ def _per_head_scores(q, k, mask_row, scale, causal):
     return jnp.where(valid, s, _NEG_INF)
 
 
+def _dead_rows(mask_row, causal, n_q_rows, n_pad, n_real):
+    """(n_q_rows, 1) bool: rows with NO valid key, plus their XLA-parity
+    UNIFORM probability row (1, n_pad) — computed from the mask once per
+    program (head-independent). XLA softmaxes a constant -finfo.max row
+    into uniform weights over the real columns, and its `where` mask
+    passes zero gradient to the scores."""
+    mvalid = (mask_row > 0).astype(jnp.int32)               # (1, n_pad)
+    if causal:
+        dead = (jnp.cumsum(mvalid, axis=-1) == 0)[:, :n_q_rows].reshape(-1, 1)
+    else:
+        dead = jnp.broadcast_to(jnp.max(mvalid) == 0, (n_q_rows, 1))
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
+    uniform = (cols < n_real).astype(jnp.float32)
+    return dead, uniform
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
-                *, scale, causal, dim_head, hpg, n_rows):
+                *, scale, causal, dim_head, hpg, n_rows, n_real,
+                maybe_dead):
     # only the first n_rows (real sequence, sublane-aligned) of the padded
     # q block are computed — the tail rows are zero-filled, skipping ~1/3 of
     # the score/softmax work at the flagship 257→384 padding
     outs, lses = [], []
+    if maybe_dead:
+        dead, uniform = _dead_rows(mask_ref[0], causal, n_rows,
+                                   q_ref.shape[1], n_real)
     for i in range(hpg):
         sl = slice(i * dim_head, (i + 1) * dim_head)
         q = q_ref[0][:n_rows, sl]
         k, v = k_ref[0][:, sl], v_ref[0][:, sl]
         s = _per_head_scores(q, k, mask_ref[0], scale, causal)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        m_safe = jnp.where(m == _NEG_INF, 0.0, m)
-        p = jnp.exp(s - m_safe)
+        m_safe = jnp.max(s, axis=-1, keepdims=True)
+        if maybe_dead:
+            m_safe = jnp.where(dead, 0.0, m_safe)
+            p = jnp.where(dead, uniform, jnp.exp(s - m_safe))
+        else:
+            p = jnp.exp(s - m_safe)
         l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
         outs.append(jax.lax.dot_general(
             (p / l).astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -97,9 +116,12 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
 
 def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, lse_ref, o_ref, do_ref,
                 dq_ref, dk_ref, dv_ref, *, scale, causal, dim_head, hpg,
-                n_rows):
+                n_rows, n_real, maybe_dead):
     n_pad = q_ref.shape[1]
     dqs, dks, dvs = [], [], []
+    if maybe_dead:
+        dead, uniform = _dead_rows(mask_ref[0], causal, n_rows, n_pad,
+                                   n_real)
     for i in range(hpg):
         sl = slice(i * dim_head, (i + 1) * dim_head)
         q = q_ref[0][:n_rows, sl]
@@ -111,11 +133,19 @@ def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, lse_ref, o_ref, do_ref,
 
         s = _per_head_scores(q, k, mask_ref[0], scale, causal)
         p = jnp.exp(s - lse)
+        if maybe_dead:
+            # dead rows: exp(-inf - lse) = 0, but the fwd used uniform/n
+            p = jnp.where(dead, uniform / n_real, p)
 
         delta = jnp.sum(do32 * out, axis=-1, keepdims=True)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = (p * (dp - delta) * scale).astype(q.dtype)
+        ds = p * (dp - delta) * scale
+        if maybe_dead:
+            # XLA-parity: masked `where` passes no gradient to a dead row's
+            # scores — dq/dk are zero there (dv still flows through p)
+            ds = jnp.where(dead, 0.0, ds)
+        ds = ds.astype(q.dtype)
 
         dqs.append(jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
                                        preferred_element_type=jnp.float32))
@@ -142,14 +172,14 @@ def _group_specs(n_groups, n_pad, gw):
     ]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
 def attention_core(qkv, mask, heads, dim_head, scale, causal=False,
-                   interpret=None):
+                   interpret=None, maybe_dead=True):
     """qkv: (b, n, 3·heads·dim_head) fused projection output (q | k | v);
     mask: (b, n) key validity; returns (b, n, heads·dim_head) attention
     output in residual-stream layout. Differentiable w.r.t. qkv."""
     out, _ = _attention_fwd(qkv, mask, heads, dim_head, scale, causal,
-                            interpret)
+                            interpret, maybe_dead)
     return out
 
 
@@ -164,7 +194,8 @@ def _prep(qkv, mask, interpret):
     return qkv_p, key_valid, n, n_pad, interpret
 
 
-def _attention_fwd(qkv, mask, heads, dim_head, scale, causal, interpret):
+def _attention_fwd(qkv, mask, heads, dim_head, scale, causal, interpret,
+                   maybe_dead):
     assert supported(heads, dim_head), (heads, dim_head)
     qkv_p, key_valid, n, n_pad, interp = _prep(qkv, mask, interpret)
     b = qkv.shape[0]
@@ -174,7 +205,8 @@ def _attention_fwd(qkv, mask, heads, dim_head, scale, causal, interpret):
     n_rows = min(_round_up(n, 16), n_pad)
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, causal=causal,
-                          dim_head=dim_head, hpg=hpg, n_rows=n_rows),
+                          dim_head=dim_head, hpg=hpg, n_rows=n_rows,
+                          n_real=n, maybe_dead=maybe_dead),
         grid=(b, n_groups),
         in_specs=_group_specs(n_groups, n_pad, gw),
         out_specs=[
@@ -190,7 +222,8 @@ def _attention_fwd(qkv, mask, heads, dim_head, scale, causal, interpret):
     return out[:, :n], (qkv_p, key_valid, out, lse)
 
 
-def _attention_bwd(heads, dim_head, scale, causal, interpret, res, dout):
+def _attention_bwd(heads, dim_head, scale, causal, interpret, maybe_dead,
+                   res, dout):
     qkv_p, key_valid, out, lse = res
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -203,7 +236,8 @@ def _attention_bwd(heads, dim_head, scale, causal, interpret, res, dout):
     n_rows = min(_round_up(n, 16), n_pad)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale, causal=causal,
-                          dim_head=dim_head, hpg=hpg, n_rows=n_rows),
+                          dim_head=dim_head, hpg=hpg, n_rows=n_rows,
+                          n_real=n, maybe_dead=maybe_dead),
         grid=(b, n_groups),
         in_specs=_group_specs(n_groups, n_pad, gw) + [
             pl.BlockSpec((1, 1, n_pad, hpg), lambda b, g: (g, b, 0, 0)),
@@ -229,6 +263,7 @@ def _attention_bwd(heads, dim_head, scale, causal, interpret, res, dout):
 
 
 attention_core.defvjp(
-    lambda qkv, mask, heads, dim_head, scale, causal, interpret:
-        _attention_fwd(qkv, mask, heads, dim_head, scale, causal, interpret),
+    lambda qkv, mask, heads, dim_head, scale, causal, interpret, maybe_dead:
+        _attention_fwd(qkv, mask, heads, dim_head, scale, causal, interpret,
+                       maybe_dead),
     _attention_bwd)

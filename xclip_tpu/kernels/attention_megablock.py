@@ -31,15 +31,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-_NEG_INF = float(-jnp.inf)
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
-
-
-def _eps_for(dtype) -> float:
-    return 1e-5 if dtype == jnp.float32 else 1e-3
+from ._common import (NEG_INF as _NEG_INF, eps_for as _eps_for,
+                      ln_bwd as _ln_bwd, ln_fp32 as _ln_fp32,
+                      round_up as _round_up)
 
 
 def supported(heads: int, dim_head: int, dim: int, n_pad: int,
@@ -62,24 +56,6 @@ def supported(heads: int, dim_head: int, dim: int, n_pad: int,
     return total < 15.75 * 1024 * 1024
 
 
-def _ln_fp32(x32, g32, eps):
-    mean = jnp.mean(x32, axis=-1, keepdims=True)
-    c = x32 - mean
-    var = jnp.mean(c * c, axis=-1, keepdims=True)
-    inv = jax.lax.rsqrt(var + eps)
-    xhat = c * inv
-    return xhat * g32, xhat, inv
-
-
-def _ln_bwd(dy, xhat, inv, g32):
-    """Gain-only LayerNorm vjp → (dx, dg_rowsum)."""
-    dg = jnp.sum(dy * xhat, axis=0, keepdims=True)
-    dxhat = dy * g32
-    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
-    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
-    return inv * (dxhat - m1 - xhat * m2), dg
-
-
 def _masked_scores(q, k, mask_row, scale, causal):
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
@@ -97,15 +73,35 @@ def _dot(a, b, *, ta=False, tb=False):
                                preferred_element_type=jnp.float32)
 
 
+def _dead_rows(mask_row, causal, n_rows, n_real):
+    """(n_rows, 1) bool: rows with NO valid key, plus the uniform row
+    (1, n_rows) used as their XLA-parity probability — computed from the
+    mask ONCE per program (head-independent), not from per-head score
+    maxima. A dead row arises from an all-padding caption; XLA softmaxes
+    its constant -finfo.max scores into UNIFORM weights over the real
+    columns, and its `where` mask passes zero gradient to the scores."""
+    mvalid = (mask_row > 0).astype(jnp.int32)               # (1, n_rows)
+    if causal:
+        dead = (jnp.cumsum(mvalid, axis=-1) == 0).reshape(-1, 1)
+    else:
+        dead = jnp.broadcast_to(jnp.max(mvalid) == 0, (n_rows, 1))
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, n_rows), 1)
+    uniform = (cols < n_real).astype(jnp.float32)
+    return dead, uniform
+
+
 def _fwd_common(x, gpre32, wqkv, mask_row, scale, causal, heads, dim_head,
-                n_rows, eps):
+                n_rows, eps, n_real, maybe_dead):
     """Shared fwd recompute: returns (xhat_pre, inv_pre, xn, qkv,
-    per-head (q, k, v, p, o) list, attnout)."""
+    per-head (q, k, v, p, o) list, attnout, dead)."""
     x32 = x[:n_rows].astype(jnp.float32)
     xn32, xhat_pre, inv_pre = _ln_fp32(x32, gpre32, eps)
     xn = xn32.astype(x.dtype)
     qkv = _dot(xn, wqkv).astype(x.dtype)          # (n_rows, 3·h·d)
     mask_row = mask_row[:, :n_rows]               # keys exist for n_rows only
+    dead = uniform = None
+    if maybe_dead:
+        dead, uniform = _dead_rows(mask_row, causal, n_rows, n_real)
     hd = heads * dim_head
     po = []
     for h in range(heads):
@@ -114,26 +110,30 @@ def _fwd_common(x, gpre32, wqkv, mask_row, scale, causal, heads, dim_head,
         v = qkv[:, 2 * hd + h * dim_head:2 * hd + (h + 1) * dim_head]
         s = _masked_scores(q, k, mask_row, scale, causal)
         m = jnp.max(s, axis=-1, keepdims=True)
-        m_safe = jnp.where(m == _NEG_INF, 0.0, m)
-        p = jnp.exp(s - m_safe)
+        if maybe_dead:
+            m = jnp.where(dead, 0.0, m)
+            p = jnp.where(dead, uniform, jnp.exp(s - m))
+        else:
+            p = jnp.exp(s - m)
         l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
         p = p / l
         o = _dot(p.astype(v.dtype), v)            # fp32 (n_rows, d)
         po.append((q, k, v, p, o))
     attnout = jnp.concatenate([o for (_, _, _, _, o) in po],
                               axis=-1).astype(x.dtype)
-    return xhat_pre, inv_pre, xn, qkv, po, attnout
+    return xhat_pre, inv_pre, xn, qkv, po, attnout, dead
 
 
 def _fwd_kernel(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref, mask_ref,
-                o_ref, *, scale, causal, heads, dim_head, n_rows, eps):
+                o_ref, *, scale, causal, heads, dim_head, n_rows, eps,
+                n_real, maybe_dead):
     x = x_ref[0]
     gpre32 = gpre_ref[...].astype(jnp.float32)
     gout32 = gout_ref[...].astype(jnp.float32)
 
-    _, _, _, _, po, attnout = _fwd_common(
+    _, _, _, _, po, attnout, _ = _fwd_common(
         x, gpre32, wqkv_ref[...], mask_ref[0], scale, causal, heads,
-        dim_head, n_rows, eps)
+        dim_head, n_rows, eps, n_real, maybe_dead)
 
     proj = _dot(attnout, wout_ref[...])           # fp32 (n_rows, dim)
     y32, _, _ = _ln_fp32(proj, gout32, eps)
@@ -146,7 +146,8 @@ def _fwd_kernel(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref, mask_ref,
 def _bwd_kernel(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref, mask_ref,
                 do_ref,
                 dx_ref, dwqkv_ref, dwout_ref, dgpre_ref, dgout_ref,
-                *, scale, causal, heads, dim_head, n_rows, eps, num_b):
+                *, scale, causal, heads, dim_head, n_rows, eps, n_real,
+                maybe_dead):
     b = pl.program_id(0)
 
     @pl.when(b == 0)
@@ -162,9 +163,9 @@ def _bwd_kernel(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref, mask_ref,
     gout32 = gout_ref[...].astype(jnp.float32)
     hd = heads * dim_head
 
-    xhat_pre, inv_pre, xn, qkv, po, attnout = _fwd_common(
+    xhat_pre, inv_pre, xn, qkv, po, attnout, dead = _fwd_common(
         x, gpre32, wqkv_ref[...], mask_ref[0], scale, causal, heads,
-        dim_head, n_rows, eps)
+        dim_head, n_rows, eps, n_real, maybe_dead)
     # re-derive out-LN stats from the recomputed projection
     proj = _dot(attnout, wout_ref[...])
     mean_o = jnp.mean(proj, axis=-1, keepdims=True)
@@ -188,7 +189,13 @@ def _bwd_kernel(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref, mask_ref,
         do_h = dattn[:, h * dim_head:(h + 1) * dim_head].astype(jnp.float32)
         delta = jnp.sum(do_h * o, axis=-1, keepdims=True)
         dp = _dot(do_h.astype(v.dtype), v, tb=True)
-        ds = (p * (dp - delta) * scale).astype(x.dtype)
+        ds = p * (dp - delta) * scale
+        if maybe_dead:
+            # XLA-parity: a dead row's scores all come from the masked
+            # branch of `where`, which passes NO gradient — dq/dk are zero
+            # there (dv still flows through the uniform probabilities)
+            ds = jnp.where(dead, 0.0, ds)
+        ds = ds.astype(x.dtype)
         dqkv_parts_q.append(_dot(ds, k))
         dqkv_parts_k.append(_dot(ds, q, ta=True))
         dqkv_parts_v.append(_dot(p.astype(x.dtype), do_h.astype(x.dtype),
@@ -208,13 +215,16 @@ def _bwd_kernel(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref, mask_ref,
         dx_ref[0, n_rows:] = jnp.zeros_like(dx_ref[0, n_rows:])
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
 def attention_block(x, g_pre, w_qkv, w_out, g_out, mask,
-                    heads, dim_head, scale, causal=False, interpret=None):
+                    heads, dim_head, scale, causal=False, interpret=None,
+                    maybe_dead=True):
     """x: (b, n, dim); returns x + LN(W_out · attention(LN(x)·W_qkv)).
-    Differentiable w.r.t. the five tensor arguments."""
+    Differentiable w.r.t. the five tensor arguments. `maybe_dead=False`
+    (static) skips the all-keys-masked row handling — pass it when the
+    mask is known to be all-True (e.g. synthesized for mask=None)."""
     out, _ = _mega_fwd(x, g_pre, w_qkv, w_out, g_out, mask,
-                       heads, dim_head, scale, causal, interpret)
+                       heads, dim_head, scale, causal, interpret, maybe_dead)
     return out
 
 
@@ -230,7 +240,7 @@ def _prep(x, mask, interpret):
 
 
 def _mega_fwd(x, g_pre, w_qkv, w_out, g_out, mask,
-              heads, dim_head, scale, causal, interpret):
+              heads, dim_head, scale, causal, interpret, maybe_dead):
     x_p, key_valid, n, n_pad, interp = _prep(x, mask, interpret)
     b, _, dim = x_p.shape
     n_rows = min(_round_up(n, 16), n_pad)
@@ -239,7 +249,7 @@ def _mega_fwd(x, g_pre, w_qkv, w_out, g_out, mask,
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, causal=causal,
                           heads=heads, dim_head=dim_head, n_rows=n_rows,
-                          eps=eps),
+                          eps=eps, n_real=n, maybe_dead=maybe_dead),
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, n_pad, dim), lambda i: (i, 0, 0)),
@@ -258,14 +268,15 @@ def _mega_fwd(x, g_pre, w_qkv, w_out, g_out, mask,
 
 # the weights are needed in the backward: carry them as residuals
 def _mega_fwd_vjp(x, g_pre, w_qkv, w_out, g_out, mask,
-                  heads, dim_head, scale, causal, interpret):
+                  heads, dim_head, scale, causal, interpret, maybe_dead):
     out, (x_p, key_valid) = _mega_fwd(
         x, g_pre, w_qkv, w_out, g_out, mask,
-        heads, dim_head, scale, causal, interpret)
+        heads, dim_head, scale, causal, interpret, maybe_dead)
     return out, (x_p, key_valid, g_pre, w_qkv, w_out, g_out, x.shape)
 
 
-def _mega_bwd_vjp(heads, dim_head, scale, causal, interpret, res, dout):
+def _mega_bwd_vjp(heads, dim_head, scale, causal, interpret, maybe_dead,
+                  res, dout):
     x_p, key_valid, g_pre, w_qkv, w_out, g_out, x_shape = res
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -279,7 +290,7 @@ def _mega_bwd_vjp(heads, dim_head, scale, causal, interpret, res, dout):
     dx, dwqkv, dwout, dgpre, dgout = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale, causal=causal,
                           heads=heads, dim_head=dim_head, n_rows=n_rows,
-                          eps=eps, num_b=b),
+                          eps=eps, n_real=n, maybe_dead=maybe_dead),
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, n_pad, dim), lambda i: (i, 0, 0)),

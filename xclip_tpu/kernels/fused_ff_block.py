@@ -39,27 +39,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ._common import (eps_for as _eps_for, ln_fp32 as _ln_fp32,
+                      round_up as _round_up)
 from .fused_ff import _gelu_exact, _erf, _INV_SQRT2
 
 DEFAULT_BLOCK_ROWS = 256
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
-
-
-def _eps_for(dtype) -> float:
-    return 1e-5 if dtype == jnp.float32 else 1e-3
-
-
-def _ln_fp32(x32, g32, eps):
-    """Gain-only LayerNorm in fp32: returns (normed·g, xhat, mean, inv)."""
-    mean = jnp.mean(x32, axis=-1, keepdims=True)
-    c = x32 - mean
-    var = jnp.mean(c * c, axis=-1, keepdims=True)
-    inv = jax.lax.rsqrt(var + eps)
-    xhat = c * inv
-    return xhat * g32, xhat, mean, inv
 
 
 def _gelu_grad(b):
@@ -73,7 +57,7 @@ def _fwd_kernel(x_ref, gpre_ref, win_ref, gin_ref, wout_ref, o_ref,
                 *, eps_pre, eps_in):
     x = x_ref[...]
     x32 = x.astype(jnp.float32)
-    xn32, _, _, _ = _ln_fp32(x32, gpre_ref[...].astype(jnp.float32), eps_pre)
+    xn32, _, _ = _ln_fp32(x32, gpre_ref[...].astype(jnp.float32), eps_pre)
     xn = xn32.astype(x.dtype)
 
     h = jax.lax.dot_general(xn, win_ref[...], (((1,), (0,)), ((), ())),
@@ -81,7 +65,7 @@ def _fwd_kernel(x_ref, gpre_ref, win_ref, gin_ref, wout_ref, o_ref,
     inner = h.shape[-1] // 2
     a, b = h[:, :inner], h[:, inner:]
     prod = a * _gelu_exact(b)
-    y32, _, _, _ = _ln_fp32(prod, gin_ref[...].astype(jnp.float32), eps_in)
+    y32, _, _ = _ln_fp32(prod, gin_ref[...].astype(jnp.float32), eps_in)
     y = y32.astype(x.dtype)
 
     out = jax.lax.dot_general(y, wout_ref[...], (((1,), (0,)), ((), ())),
@@ -133,7 +117,7 @@ def _bwd_dx_kernel(x_ref, gpre_ref, win_ref, gin_ref, wout_ref, do_ref,
 
     # recompute forward up to the inner normalized activation
     x32 = x.astype(jnp.float32)
-    xn32, xhat_pre, _, inv_pre = _ln_fp32(x32, gpre32, eps_pre)
+    xn32, xhat_pre, inv_pre = _ln_fp32(x32, gpre32, eps_pre)
     xn = xn32.astype(x.dtype)
     h = jax.lax.dot_general(xn, win_ref[...], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
@@ -212,7 +196,7 @@ def _bwd_dw_kernel(x_ref, gpre_ref, wina_ref, winb_ref, gin_ref, wout_ref,
     m2 = m2_ref[...]
 
     x32 = x.astype(jnp.float32)
-    xn32, _, _, _ = _ln_fp32(x32, gpre32, eps_pre)
+    xn32, _, _ = _ln_fp32(x32, gpre32, eps_pre)
     xn = xn32.astype(x.dtype)
 
     # recompute only this column block of the inner activations
@@ -278,10 +262,24 @@ def _flatten_pad(x, block_rows):
     return x2, rows, lead
 
 
+def pick_block_cols(inner: int, block_cols: int = 512):
+    """Largest divisor of the inner width ≤ block_cols (the dW pass needs
+    column blocks that tile the inner dim exactly). None if no usable
+    divisor ≥ 8 exists — callers fall back to the XLA path."""
+    for bc in range(min(block_cols, inner), 7, -1):
+        if inner % bc == 0:
+            return bc
+    return None
+
+
+def supported(dim: int, inner: int) -> bool:
+    return pick_block_cols(inner) is not None
+
+
 def _clamp_blocks(x, w_in, block_rows, block_cols):
     inner = w_in.shape[-1] // 2
-    block_cols = min(block_cols, inner)
-    assert inner % block_cols == 0, (inner, block_cols)
+    block_cols = pick_block_cols(inner, block_cols)
+    assert block_cols is not None, (inner,)
     if x.dtype == jnp.float32:
         # fp32 doubles every VMEM-resident tensor; halve the row tile
         block_rows = max(8, block_rows // 2)

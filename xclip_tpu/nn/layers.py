@@ -38,11 +38,11 @@ _warned_fallbacks = set()
 
 
 def _warn_fallback(requested: str, reason: str):
-    """Warn (once per kind, at trace time) when a requested Pallas impl
-    silently routes to the XLA path — VERDICT r1: a user who sets both
+    """Warn (once per distinct cause, at trace time) when a requested Pallas
+    impl silently routes to the XLA path — VERDICT r1: a user who sets both
     `attn_impl='flash'` and attention dropout got XLA with no signal."""
-    if requested not in _warned_fallbacks:
-        _warned_fallbacks.add(requested)
+    if (requested, reason) not in _warned_fallbacks:
+        _warned_fallbacks.add((requested, reason))
         warnings.warn(f"{requested} requested but falling back to the XLA "
                       f"path: {reason}", stacklevel=3)
 
@@ -109,11 +109,12 @@ def feed_forward_apply(params, x, *, ff_dropout: float = 0.0,
                        rngs: Optional[RngStream] = None, training: bool = False,
                        ff_impl: str = "xla", remat_wide: bool = False):
     x = layer_norm_apply(params["norm"], x)
-    if ff_impl == "fused" and training and ff_dropout > 0.0:
+    ff_dropout_active = bool(training and ff_dropout > 0.0 and rngs)
+    if ff_impl == "fused" and ff_dropout_active:
         _warn_fallback("ff_impl='fused'",
                        "ff_dropout > 0 in training mode (the fused GEGLU+LN "
                        "kernel has no dropout epilogue)")
-    if ff_impl == "fused" and not (training and ff_dropout > 0.0):
+    if ff_impl == "fused" and not ff_dropout_active:
         # one-pass Pallas GEGLU+inner-LN (kernels/fused_ff.py): saves the
         # separate product/stat/normalize HBM round trips between the matmuls
         from ..kernels.fused_ff import geglu_layernorm
@@ -156,9 +157,10 @@ def attention_apply(params, x, *, heads: int, dim_head: int,
     x = layer_norm_apply(params["norm"], x)
     qkv = x @ params["to_qkv"]["w"]
 
+    dropout_active = bool(training and attn_dropout > 0.0 and rngs)
     if attn_impl == "fused":
         from ..kernels.attention_block import supported as _fused_ok
-        if training and attn_dropout > 0.0:
+        if dropout_active:
             _warn_fallback("attn_impl='fused'",
                            "attn_dropout > 0 in training mode (the fused "
                            "whole-head kernel has no attention dropout)")
@@ -166,7 +168,7 @@ def attention_apply(params, x, *, heads: int, dim_head: int,
             _warn_fallback("attn_impl='fused'",
                            f"heads={heads}, dim_head={dim_head} does not "
                            "tile into 128-lane head groups")
-    if (attn_impl == "fused" and not (training and attn_dropout > 0.0)
+    if (attn_impl == "fused" and not dropout_active
             and _fused_ok(heads, dim_head)):
         # whole-head Pallas attention (kernels/attention_block.py): q/k/v
         # stay as column slices of the fused qkv tensor (no transposes) and
@@ -180,7 +182,8 @@ def attention_apply(params, x, *, heads: int, dim_head: int,
             qkv4 = apply_rotary_pos_emb(rotary[:, None, :], qkv4)
             qkv = qkv4.reshape(b, n, 3 * heads * dim_head)
         key_mask = mask if mask is not None else jnp.ones((b, n), dtype=bool)
-        out = attention_core(qkv, key_mask, heads, dim_head, scale, causal)
+        out = attention_core(qkv, key_mask, heads, dim_head, scale, causal,
+                             None, mask is not None)
         out = out @ params["to_out"]["w"]
         return layer_norm_apply(params["out_norm"], out)
 
@@ -193,12 +196,11 @@ def attention_apply(params, x, *, heads: int, dim_head: int,
         # quirk parity: rotary applied to q, k AND v (x_clip.py:223)
         q, k, v = (apply_rotary_pos_emb(rotary, t) for t in (q, k, v))
 
-    if attn_impl == "flash" and training and attn_dropout > 0.0:
+    if attn_impl == "flash" and dropout_active:
         _warn_fallback("attn_impl='flash'",
                        "attn_dropout > 0 in training mode (the flash kernel "
                        "does not implement attention-weight dropout)")
-    use_flash = (attn_impl == "flash"
-                 and not (training and attn_dropout > 0.0))
+    use_flash = attn_impl == "flash" and not dropout_active
     if use_flash:
         from ..kernels.flash_attention import flash_attention
         out = flash_attention(q, k, v, mask=mask, causal=causal)
@@ -308,7 +310,7 @@ def transformer_apply(params, x, *, heads: int, dim_head: int,
 
     use_mega = False
     if attn_impl == "fused" and rotary is None and not (
-            training and attn_dropout > 0.0):
+            training and attn_dropout > 0.0 and rng is not None):
         from ..kernels.attention_megablock import supported as _mega_ok
         n_pad = ((x.shape[1] + 127) // 128) * 128
         use_mega = _mega_ok(heads, dim_head, x.shape[-1], n_pad, x.dtype)
@@ -328,7 +330,8 @@ def transformer_apply(params, x, *, heads: int, dim_head: int,
                 x = attention_block(
                     x, p["attn"]["norm"]["g"], p["attn"]["to_qkv"]["w"],
                     p["attn"]["to_out"]["w"], p["attn"]["out_norm"]["g"],
-                    key_mask, heads, dim_head, dim_head ** -0.5, causal)
+                    key_mask, heads, dim_head, dim_head ** -0.5, causal,
+                    None, mask is not None)
             else:
                 x = attention_apply(
                     p["attn"], x, heads=heads, dim_head=dim_head,
@@ -336,8 +339,11 @@ def transformer_apply(params, x, *, heads: int, dim_head: int,
                     attn_dropout=attn_dropout, rngs=rngs, training=training,
                     attn_impl=attn_impl, remat_wide=remat_wide) + x
         with jax.named_scope("feed_forward"):
-            if ff_impl == "block" and not (training and ff_dropout > 0.0
-                                           and rngs):
+            from ..kernels.fused_ff_block import supported as _ffb_ok
+            ff_inner = p["ff"]["w_in"]["w"].shape[-1] // 2
+            ffb_dropout = bool(training and ff_dropout > 0.0 and rngs)
+            if (ff_impl == "block" and not ffb_dropout
+                    and _ffb_ok(x.shape[-1], ff_inner)):
                 # whole-FF-block Pallas kernel (kernels/fused_ff_block.py):
                 # PreNorm LN → w_in → GEGLU → inner LN → w_out → residual in
                 # one pass; backward recomputes the inner activations
@@ -347,9 +353,11 @@ def transformer_apply(params, x, *, heads: int, dim_head: int,
                              p["ff"]["inner_norm"]["g"], p["ff"]["w_out"]["w"])
             else:
                 if ff_impl == "block":
-                    _warn_fallback("ff_impl='block'",
-                                   "ff_dropout > 0 in training mode (the "
-                                   "fused FF block has no dropout epilogue)")
+                    _warn_fallback(
+                        "ff_impl='block'",
+                        "ff_dropout active in training mode" if ffb_dropout
+                        else f"inner width {ff_inner} has no usable column "
+                             "block divisor for the dW pass")
                 x = feed_forward_apply(
                     p["ff"], x, ff_dropout=ff_dropout, rngs=rngs,
                     training=training, ff_impl=ff_impl,
