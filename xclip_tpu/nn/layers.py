@@ -23,9 +23,7 @@ to a Pallas flash-attention kernel via `attn_impl='flash'`.
 
 from __future__ import annotations
 
-import math
 import warnings
-from functools import partial
 from typing import Optional
 
 import jax
