@@ -360,3 +360,19 @@ def test_grad_accumulation_matches_ddp_semantics():
     assert bool(jnp.isfinite(m2["loss"]))
     bn = s2.params["visual_ssl"]["projector"]["bn1"]
     assert not np.allclose(np.asarray(bn["mean"]), 0.0)
+
+
+def test_grad_accum_warns_about_microbatch_negatives():
+    """grad_accum>1 silently shrinks the contrastive negative set to the
+    microbatch — make_train_step must warn at build time."""
+    import warnings
+    import optax
+    clip = mock_clip()
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        make_train_step(clip.model, optax.sgd(1.0), grad_accum=2)
+    assert any("negatives" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        make_train_step(clip.model, optax.sgd(1.0))
+    assert not any("negatives" in str(x.message) for x in w)

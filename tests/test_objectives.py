@@ -317,3 +317,42 @@ def test_hidden_layer_tap_by_name_matches_int():
     import pytest
     with pytest.raises(ValueError):
         loss_for("no_such_layer")
+
+
+def test_eval_guards_against_filip_latents():
+    """FILIP models encode per-token (b, n, d) latents; the pooled-latent
+    eval utilities must refuse them loudly instead of computing garbage
+    shapes (eval.py guard)."""
+    import pytest
+    from xclip_tpu import CLIP
+    from xclip_tpu.eval import (build_zero_shot_classifier, retrieval_metrics,
+                                zero_shot_logits)
+    clip = CLIP(dim_text=32, dim_image=32, dim_latent=32, num_text_tokens=50,
+                text_enc_depth=1, text_seq_len=8, text_heads=2, text_dim_head=16,
+                visual_enc_depth=1, visual_heads=2, visual_dim_head=16,
+                visual_image_size=16, visual_patch_size=8,
+                visual_patch_dropout=0.0, use_all_token_embeds=True)
+    rng = np.random.RandomState(0)
+    prompts = jnp.asarray(rng.randint(1, 50, (6, 8)))
+    images = jnp.asarray(rng.randn(4, 3, 16, 16).astype(np.float32))
+    with pytest.raises(ValueError, match="use_all_token_embeds"):
+        build_zero_shot_classifier(clip.model, clip.params, prompts)
+    with pytest.raises(ValueError, match="use_all_token_embeds"):
+        zero_shot_logits(clip.model, clip.params, images,
+                         jnp.zeros((3, 32)))
+    # per-token latents passed directly are rejected by shape
+    tl = clip.model.encode_text(clip.params, prompts[:4])
+    il = clip.model.encode_image(clip.params, images)
+    assert tl.ndim == 3 and il.ndim == 3
+    with pytest.raises(ValueError, match="pooled"):
+        retrieval_metrics(tl, il)
+
+
+def test_simclr_accepts_use_nt_xent_loss():
+    """Reference SimCLR accepts (and ignores) use_nt_xent_loss
+    (visual_ssl.py:272); our constructor surface must too."""
+    from xclip_tpu.objectives.ssl import SimCLR
+    a = SimCLR(image_size=16)
+    b = SimCLR(image_size=16, use_nt_xent_loss=True)
+    assert a.use_nt_xent_loss is False       # reference default
+    assert b.temperature == a.temperature    # everything else unchanged

@@ -211,3 +211,40 @@ def test_loader_shards_emit_equal_batch_counts():
                                  shard_count=2, shard_index=idx)
         counts.append(len(list(loader)))
     assert counts[0] == counts[1] == 1
+
+
+def test_loader_rejects_empty_shard_epoch():
+    """A per-shard slice smaller than one batch with drop_remainder would
+    yield zero batches per epoch (an infinite busy-loop with
+    num_epochs=None) — must raise at construction."""
+    import pytest
+    with pytest.raises(ValueError, match="every epoch would be empty"):
+        TextImageLoader(make_examples(6), batch_size=4, context_length=16,
+                        shard_count=2, shard_index=0)
+    # drop_remainder=False keeps the short batch → legal
+    loader = TextImageLoader(make_examples(6), batch_size=4, context_length=16,
+                             shard_count=2, shard_index=0,
+                             drop_remainder=False)
+    assert len(list(loader)) == 1
+
+
+def test_loader_producer_exits_on_early_consumer_exit():
+    """Abandoning the iterator mid-stream (bounded loop over
+    num_epochs=None) must release the producer thread instead of leaving it
+    blocked on q.put holding prefetched device batches."""
+    import threading
+    import time
+    before = set(threading.enumerate())
+    loader = TextImageLoader(make_examples(64), batch_size=4,
+                             context_length=16, num_epochs=None, prefetch=2)
+    it = iter(loader)
+    next(it)
+    it.close()  # generator finally → done.set()
+    deadline = time.time() + 5.0
+    while time.time() < deadline:
+        leaked = [t for t in threading.enumerate()
+                  if t not in before and t.is_alive()]
+        if not leaked:
+            break
+        time.sleep(0.05)
+    assert not leaked, f"producer thread(s) still alive: {leaked}"

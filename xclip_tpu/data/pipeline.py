@@ -93,9 +93,23 @@ class TextImageLoader:
                             else jax.process_index())
         assert 0 <= self.shard_index < self.shard_count
 
-        # fail at construction, not an epoch into training: the streamed
-        # (non-indexable) path can neither shard the example stream across
-        # processes nor replay a bare iterator for further epochs
+        # fail at construction, not an epoch into training: an indexable
+        # source whose per-host shard is smaller than one batch would yield
+        # ZERO batches per epoch — with num_epochs=None the producer thread
+        # would silently spin through empty epochs forever
+        if _is_indexable(examples) and self.drop_remainder:
+            per_shard = len(examples) // self.shard_count
+            if per_shard < batch_size:
+                raise ValueError(
+                    f"dataset of {len(examples)} examples gives "
+                    f"{per_shard} per shard ({self.shard_count} shards) — "
+                    f"fewer than batch_size={batch_size} with "
+                    "drop_remainder=True, so every epoch would be empty. "
+                    "Lower batch_size or pass drop_remainder=False.")
+
+        # the streamed (non-indexable) path can neither shard the example
+        # stream across processes nor replay a bare iterator for further
+        # epochs
         if not _is_indexable(examples):
             if self.shard_count > 1:
                 raise ValueError(
@@ -221,14 +235,31 @@ class TextImageLoader:
                 if self.num_workers > 0 and _is_indexable(self._examples)
                 else None)
 
+        # consumer-gone signal: when the caller abandons the iterator early
+        # (e.g. a bounded training loop over num_epochs=None), the producer
+        # must not stay blocked on q.put forever pinning `prefetch` device
+        # batches — it checks this event between put attempts and exits
+        done = threading.Event()
+
+        def put_until_done(item) -> bool:
+            while not done.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker():
             try:
                 for tokens, images in self._host_batches(pool):
-                    q.put({"text": place(tokens), "image": place(images)})
+                    if not put_until_done(
+                            {"text": place(tokens), "image": place(images)}):
+                        return
             except Exception as e:  # surface worker errors to the consumer
                 err.append(e)
             finally:
-                q.put(stop)
+                put_until_done(stop)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -241,5 +272,6 @@ class TextImageLoader:
                     return
                 yield item
         finally:
+            done.set()
             if pool is not None:
                 pool.shutdown(wait=False)

@@ -40,8 +40,10 @@ def supported(heads: int, dim_head: int, dim: int, n_pad: int,
               dtype) -> bool:
     """VMEM budget check for the (tighter) backward kernel: weights + fp32
     dW accumulators + row tiles + fp32 temporaries + one score matrix.
-    15MB cap against the 16MB scoped limit (the flagship text shape —
-    8×64 heads, dim 512, n_pad 384 — lands at ~14MB and compiles)."""
+    Gate is 15.75MB against the 16MB scoped limit (the flagship text shape —
+    8×64 heads, dim 512, n_pad 384 — estimates 15.4MB below and compiles;
+    the estimate overcounts double-buffering of the constant-index weight
+    blocks, so the gate deliberately sits close to the hardware limit)."""
     itemsize = 2 if dtype == jnp.bfloat16 else 4
     inner = heads * dim_head
     weights = (dim * 3 * inner + inner * dim) * itemsize

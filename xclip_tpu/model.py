@@ -149,6 +149,20 @@ class CLIPModel:
         b, c, hh, ww = x.shape
         return x.reshape(b, c, hh * ww).transpose(0, 2, 1)
 
+    def _eos_reorder(self, enc_text, text):
+        """Causal-text pooling: move the FIRST EOS position's embedding to
+        index 0 so downstream CLS-style pooling reads it (x_clip.py:670-685;
+        the reference's undefined-`b` bug fixed, SURVEY §2.7.2). The
+        remaining rows keep their original order after it."""
+        eos_mask = text == self.text_eos_id
+        eos_onehot = (jnp.cumsum(eos_mask, axis=-1) == 1) & eos_mask
+        eos_idx = jnp.argmax(eos_onehot, axis=-1)
+        eos_tokens = jnp.take_along_axis(enc_text, eos_idx[:, None, None], axis=1)
+        rest_order = jnp.argsort(eos_onehot.astype(jnp.int32), axis=-1,
+                                 stable=True)[:, : text.shape[-1] - 1]
+        rest = jnp.take_along_axis(enc_text, rest_order[:, :, None], axis=1)
+        return jnp.concatenate([eos_tokens, rest], axis=1)
+
     # ------------------------------------------------------ single-tower API
     def _cast_params(self, params):
         if self.compute_dtype is None:
@@ -169,14 +183,7 @@ class CLIPModel:
             params["text"], text, enc_mask, rng=rng, training=training,
             attn_impl=self.attn_impl)
         if self.text_causal_mask:
-            eos_mask = text == self.text_eos_id
-            eos_onehot = (jnp.cumsum(eos_mask, axis=-1) == 1) & eos_mask
-            eos_idx = jnp.argmax(eos_onehot, axis=-1)
-            eos_tokens = jnp.take_along_axis(enc_text, eos_idx[:, None, None], axis=1)
-            rest_order = jnp.argsort(eos_onehot.astype(jnp.int32), axis=-1,
-                                     stable=True)[:, : text.shape[-1] - 1]
-            rest = jnp.take_along_axis(enc_text, rest_order[:, :, None], axis=1)
-            enc_text = jnp.concatenate([eos_tokens, rest], axis=1)
+            enc_text = self._eos_reorder(enc_text, text)
         if self.use_all_token_embeds:
             embeds = enc_text[:, 1:] if self.text_has_cls_token else enc_text
         else:
@@ -280,15 +287,7 @@ class CLIPModel:
 
         # ---- causal text: move EOS embedding to position 0 (x_clip.py:670-685)
         if self.text_causal_mask:
-            eos_mask = text == self.text_eos_id
-            eos_onehot = jnp.cumsum(eos_mask, axis=-1) == 1
-            eos_onehot = eos_onehot & eos_mask                    # first EOS only
-            eos_idx = jnp.argmax(eos_onehot, axis=-1)
-            eos_tokens = jnp.take_along_axis(enc_text, eos_idx[:, None, None], axis=1)
-            rest_order = jnp.argsort(eos_onehot.astype(jnp.int32), axis=-1,
-                                     stable=True)[:, : text.shape[-1] - 1]
-            rest_tokens = jnp.take_along_axis(enc_text, rest_order[:, :, None], axis=1)
-            enc_text = jnp.concatenate([eos_tokens, rest_tokens], axis=1)
+            enc_text = self._eos_reorder(enc_text, text)
 
         # ---- encode image
         with jax.named_scope("vision_tower"):

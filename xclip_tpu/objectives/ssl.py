@@ -269,6 +269,9 @@ class SimCLR:
     augment_both: bool = True
     temperature: float = 0.1
     augment_fn: Optional[Callable] = None
+    # accepted-but-ignored in the reference too (visual_ssl.py:272 — SimCLR
+    # always uses NT-Xent regardless); kept for constructor-surface parity
+    use_nt_xent_loss: bool = False
 
     def init(self, key, encoder, dtype=jnp.float32):
         rep_dim = representation_dim(encoder, self.hidden_layer)

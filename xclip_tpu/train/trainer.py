@@ -14,6 +14,7 @@ global gradients.
 from __future__ import annotations
 
 import dataclasses
+import warnings
 from functools import partial
 from typing import Any, Optional
 
@@ -75,6 +76,17 @@ def make_train_step(model, optimizer, *, donate: bool = True,
     sequentially. Gradients are unaffected (stats carry none); only the
     stored running stats differ, and only on the grad-accum path.
     """
+    if grad_accum > 1:
+        # the contrastive objective is NOT invariant to this split: warn
+        # loudly so "fit a bigger batch" users know what they are trading
+        warnings.warn(
+            f"grad_accum={grad_accum}: each microbatch sees only its OWN "
+            f"1/{grad_accum} of the batch as contrastive negatives. This "
+            "is a materially different (easier) InfoNCE objective than one "
+            "full-batch step — if you wanted more negatives, raise the "
+            "batch size or shard the loss over more chips instead. "
+            "(See the make_train_step docstring.)",
+            stacklevel=2)
 
     def grads_and_metrics(params, text, image, rng):
         def loss_fn(p):
