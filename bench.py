@@ -89,16 +89,20 @@ def _is_oom(e: Exception) -> bool:
 def main():
     import sys
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
-    # fastest-first config ladder (r2 measurements, BASELINE.md):
-    #   1. whole-block Pallas kernels (fused whole-head attention + fused FF
-    #      block) + bf16 weights, unrolled, no remat — the r2 winner
-    #      (~1470 pairs/s @ b128)
-    #   2. same kernels with fp32 weights (~1415)
-    #   3. plain XLA unrolled no-remat (r1 winner, ~1390 @ b128)
-    #   4. scanned + remat (compiles everywhere), then halve the batch
+    # fastest-first config ladder (r2/r3 measurements, BASELINE.md):
+    #   1. whole-block Pallas kernels (fused whole-head attention + FF block
+    #      with stored-h backward) + bf16 weights, unrolled, no remat — the
+    #      r3 winner (~1700 pairs/s @ b128)
+    #   2. same with the recompute-backward FF block (r2 winner, ~1550)
+    #   3. same kernels with fp32 weights (~1415)
+    #   4. plain XLA unrolled no-remat (r1 winner, ~1390 @ b128)
+    #   5. scanned + remat (compiles everywhere), then halve the batch
     skipped = []
     while batch >= 16:
         for cfg in (dict(remat=False, scan_layers=False,
+                         attn_impl="fused", ff_impl="block_stored",
+                         param_dtype=jnp.bfloat16),
+                    dict(remat=False, scan_layers=False,
                          attn_impl="fused", ff_impl="block",
                          param_dtype=jnp.bfloat16),
                     dict(remat=False, scan_layers=False,

@@ -55,6 +55,23 @@ def test_ff_block_grads_match_autodiff():
         assert rel < 5e-4, (name, rel)
 
 
+def test_ff_block_stored_h_matches_xla():
+    """store_h=True keeps the pre-GEGLU activation as a residual instead of
+    recomputing it; forward and every gradient must match the XLA reference
+    as tightly as the recompute variant."""
+    args = _ff_args()
+    out_k = ff_block(*args, 16, 64, None, True)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(_ff_ref(*args)),
+                               atol=2e-4)
+    gk = jax.grad(lambda a: (ff_block(*a, 16, 64, None, True) ** 2).sum())(args)
+    gr = jax.grad(lambda a: (_ff_ref(*a) ** 2).sum())(args)
+    for name, a, b in zip(["dx", "dg_pre", "dw_in", "dg_inner", "dw_out"],
+                          gk, gr):
+        rel = float(jnp.max(jnp.abs(a - b))) / (
+            float(jnp.max(jnp.abs(b))) + 1e-9)
+        assert rel < 5e-4, (name, rel)
+
+
 def test_ff_block_3d_and_padding():
     args = _ff_args(R=40)
     x3 = args[0].reshape(4, 10, 64)
@@ -119,7 +136,8 @@ def _mock_batch():
 @pytest.mark.parametrize("variant", [
     dict(attn_impl="fused"),
     dict(ff_impl="block"),
-    dict(attn_impl="fused", ff_impl="block"),
+    dict(ff_impl="block_stored"),
+    dict(attn_impl="fused", ff_impl="block_stored"),
     dict(checkpoint_during_training=True, remat_policy="wide"),
     dict(attn_impl="fused", text_rotary_pos_emb=True),
     dict(attn_impl="fused", text_causal_mask=True, text_eos_id=99),

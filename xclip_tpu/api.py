@@ -13,7 +13,10 @@ JAX-specific additions (keyword-only, all optional):
     README Performance); 'flash' = k-blocked flash (long seq, ≳2k)
   * `loss_impl`    — 'xla' (default) or 'fused' (Pallas streaming-LSE)
   * `ff_impl`      — 'xla' (default); 'block' = whole-FF-block Pallas
-    kernel (LN+GEGLU+LN+matmuls+residual); 'fused' = GEGLU+inner-LN only
+    kernel (LN+GEGLU+LN+matmuls+residual, tile-wise recompute backward);
+    'block_stored' = same kernel keeping the pre-GEGLU activation as a
+    backward residual (fastest measured — README Performance); 'fused' =
+    GEGLU+inner-LN only
   * `filip_block`  — column-block the FILIP score reductions
   * `scan_layers`  — False unrolls the layer loop (fastest with no remat)
   * `remat_policy` — None or 'dots' (with checkpoint_during_training)

@@ -28,6 +28,14 @@ activations tile-wise (never materializing them):
   * pass 2 (inner-column × row grid): dW_in and dW_out, accumulated in fp32
     VMEM scratch per column block — the inner LayerNorm's row coupling is
     factored out through the pass-1 statistics, so columns are independent.
+
+`store_h=True` trades HBM traffic for the recompute tax: the forward ALSO
+emits `h = LN(x) @ w_in` in the storage dtype, and both backward passes read
+it instead of redoing the x@w_in matmuls (pass 1: 4.19 MFLOP/row; pass 2:
+another 4.19 MFLOP/row at the flagship 512→2048 shape — together ~80% of
+the ideal backward FLOPs). The (rows, 2·inner) tensor streams through the
+row grid, so the added DMA overlaps the dW dots; whether that wins is
+chip-bandwidth-dependent — both variants are benched in README Performance.
 """
 
 from __future__ import annotations
@@ -92,6 +100,59 @@ def _ff_block_fwd_call(x2, g_pre, w_in, g_inner, w_out, block_rows, interpret):
         ],
         out_specs=pl.BlockSpec((block_rows, d), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((rows, d), x2.dtype),
+        interpret=interpret,
+    )(x2, g_pre[None, :], w_in, g_inner[None, :], w_out)
+
+
+def _fwd_kernel_store(x_ref, gpre_ref, win_ref, gin_ref, wout_ref,
+                      o_ref, h_ref, *, eps_pre, eps_in):
+    """Forward that also emits h = LN(x)@w_in (storage dtype) for a
+    recompute-free backward."""
+    x = x_ref[...]
+    x32 = x.astype(jnp.float32)
+    xn32, _, _ = _ln_fp32(x32, gpre_ref[...].astype(jnp.float32), eps_pre)
+    xn = xn32.astype(x.dtype)
+
+    h = jax.lax.dot_general(xn, win_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    h_ref[...] = h.astype(x.dtype)
+    inner = h.shape[-1] // 2
+    a, b = h[:, :inner], h[:, inner:]
+    prod = a * _gelu_exact(b)
+    y32, _, _ = _ln_fp32(prod, gin_ref[...].astype(jnp.float32), eps_in)
+    y = y32.astype(x.dtype)
+
+    out = jax.lax.dot_general(y, wout_ref[...], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    o_ref[...] = out.astype(x.dtype) + x
+
+
+def _ff_block_fwd_store_call(x2, g_pre, w_in, g_inner, w_out, block_rows,
+                             interpret):
+    rows, d = x2.shape
+    two_inner = w_in.shape[-1]
+    inner = two_inner // 2
+    eps = _eps_for(x2.dtype)
+    nb = rows // block_rows
+
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_store, eps_pre=eps, eps_in=eps),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((block_rows, d), lambda i: (i, 0)),
+            pl.BlockSpec((1, d), lambda i: (0, 0)),
+            pl.BlockSpec((d, two_inner), lambda i: (0, 0)),
+            pl.BlockSpec((1, inner), lambda i: (0, 0)),
+            pl.BlockSpec((inner, d), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_rows, d), lambda i: (i, 0)),
+            pl.BlockSpec((block_rows, two_inner), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, d), x2.dtype),
+            jax.ShapeDtypeStruct((rows, two_inner), x2.dtype),
+        ],
         interpret=interpret,
     )(x2, g_pre[None, :], w_in, g_inner[None, :], w_out)
 
@@ -171,6 +232,76 @@ def _bwd_dx_kernel(x_ref, gpre_ref, win_ref, gin_ref, wout_ref, do_ref,
         dgin_ref[...] = dgin_scr[...]
 
 
+def _bwd_dx_kernel_stored(x_ref, gpre_ref, win_ref, gin_ref, wout_ref,
+                          do_ref, h_ref,
+                          dx_ref, mean_ref, inv_ref, m1_ref, m2_ref,
+                          dgpre_ref, dgin_ref,
+                          dgpre_scr, dgin_scr, *, eps_pre, eps_in,
+                          num_blocks):
+    """Pass 1 with the forward-stored h: identical math to _bwd_dx_kernel
+    but the x@w_in recompute is replaced by a read of h."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dgpre_scr[...] = jnp.zeros_like(dgpre_scr)
+        dgin_scr[...] = jnp.zeros_like(dgin_scr)
+
+    x = x_ref[...]
+    do = do_ref[...]
+    do32 = do.astype(jnp.float32)
+    gpre32 = gpre_ref[...].astype(jnp.float32)
+    gin32 = gin_ref[...].astype(jnp.float32)
+
+    x32 = x.astype(jnp.float32)
+    _, xhat_pre, inv_pre = _ln_fp32(x32, gpre32, eps_pre)
+
+    h = h_ref[...].astype(jnp.float32)
+    inner = h.shape[-1] // 2
+    a, b = h[:, :inner], h[:, inner:]
+    gelu_b = _gelu_exact(b)
+    prod = a * gelu_b
+    mean_in = jnp.mean(prod, axis=-1, keepdims=True)
+    c = prod - mean_in
+    var_in = jnp.mean(c * c, axis=-1, keepdims=True)
+    inv_in = jax.lax.rsqrt(var_in + eps_in)
+    xhat_in = c * inv_in
+
+    dy = jax.lax.dot_general(do, wout_ref[...],
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dgin_scr[...] += jnp.sum(dy * xhat_in, axis=0, keepdims=True)
+
+    dyg = dy * gin32
+    m1 = jnp.mean(dyg, axis=-1, keepdims=True)
+    m2 = jnp.mean(dyg * xhat_in, axis=-1, keepdims=True)
+    dprod = inv_in * (dyg - m1 - xhat_in * m2)
+
+    mean_ref[...] = mean_in
+    inv_ref[...] = inv_in
+    m1_ref[...] = m1
+    m2_ref[...] = m2
+
+    da = dprod * gelu_b
+    db = dprod * a * _gelu_grad(b)
+    dh = jnp.concatenate([da, db], axis=-1).astype(x.dtype)
+    dxn = jax.lax.dot_general(dh, win_ref[...], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+
+    dgpre_scr[...] += jnp.sum(dxn * xhat_pre, axis=0, keepdims=True)
+
+    dyg2 = dxn * gpre32
+    p1 = jnp.mean(dyg2, axis=-1, keepdims=True)
+    p2 = jnp.mean(dyg2 * xhat_pre, axis=-1, keepdims=True)
+    dx = inv_pre * (dyg2 - p1 - xhat_pre * p2) + do32
+    dx_ref[...] = dx.astype(dx_ref.dtype)
+
+    @pl.when(i == num_blocks - 1)
+    def _emit():
+        dgpre_ref[...] = dgpre_scr[...]
+        dgin_ref[...] = dgin_scr[...]
+
+
 # ---------------------------------------------------- backward pass 2 (dW)
 
 def _bwd_dw_kernel(x_ref, gpre_ref, wina_ref, winb_ref, gin_ref, wout_ref,
@@ -231,16 +362,77 @@ def _bwd_dw_kernel(x_ref, gpre_ref, wina_ref, winb_ref, gin_ref, wout_ref,
         dwout_ref[...] = dwout_scr[...].astype(dwout_ref.dtype)
 
 
+def _bwd_dw_kernel_stored(x_ref, gpre_ref, gin_ref, wout_ref, do_ref,
+                          ha_ref, hb_ref,
+                          mean_ref, inv_ref, m1_ref, m2_ref,
+                          dwina_ref, dwinb_ref, dwout_ref,
+                          dwina_scr, dwinb_scr, dwout_scr,
+                          *, eps_pre, num_row_blocks):
+    """Pass 2 with the forward-stored h: the per-column-block a/b recompute
+    (two x@w_in slices) is replaced by reads of h's column slices; xn is an
+    elementwise LN recompute of the x tile (no matmul)."""
+    r = pl.program_id(1)
+
+    @pl.when(r == 0)
+    def _init():
+        dwina_scr[...] = jnp.zeros_like(dwina_scr)
+        dwinb_scr[...] = jnp.zeros_like(dwinb_scr)
+        dwout_scr[...] = jnp.zeros_like(dwout_scr)
+
+    x = x_ref[...]
+    do = do_ref[...]
+    gpre32 = gpre_ref[...].astype(jnp.float32)
+    gin32 = gin_ref[...].astype(jnp.float32)
+    mean_in = mean_ref[...]
+    inv_in = inv_ref[...]
+    m1 = m1_ref[...]
+    m2 = m2_ref[...]
+
+    x32 = x.astype(jnp.float32)
+    xn32, _, _ = _ln_fp32(x32, gpre32, eps_pre)
+    xn = xn32.astype(x.dtype)
+
+    a = ha_ref[...].astype(jnp.float32)
+    b = hb_ref[...].astype(jnp.float32)
+    gelu_b = _gelu_exact(b)
+    prod = a * gelu_b
+    xhat = (prod - mean_in) * inv_in
+
+    dy = jax.lax.dot_general(do, wout_ref[...], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dprod = inv_in * (dy * gin32 - m1 - xhat * m2)
+
+    da = (dprod * gelu_b).astype(x.dtype)
+    db = (dprod * a * _gelu_grad(b)).astype(x.dtype)
+    y = (xhat * gin32).astype(x.dtype)
+
+    dwina_scr[...] += jax.lax.dot_general(
+        xn, da, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dwinb_scr[...] += jax.lax.dot_general(
+        xn, db, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dwout_scr[...] += jax.lax.dot_general(
+        y, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(r == num_row_blocks - 1)
+    def _emit():
+        dwina_ref[...] = dwina_scr[...].astype(dwina_ref.dtype)
+        dwinb_ref[...] = dwinb_scr[...].astype(dwinb_ref.dtype)
+        dwout_ref[...] = dwout_scr[...].astype(dwout_ref.dtype)
+
+
 # --------------------------------------------------------------- custom vjp
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def ff_block(x, g_pre, w_in, g_inner, w_out,
-             block_rows=DEFAULT_BLOCK_ROWS, block_cols=512, interpret=None):
+             block_rows=DEFAULT_BLOCK_ROWS, block_cols=512, interpret=None,
+             store_h=False):
     """x: (..., d); g_pre: (d,); w_in: (d, 2·inner); g_inner: (inner,);
     w_out: (inner, d). Returns x + FF(LN(x)) with the whole block fused.
-    Differentiable w.r.t. all five tensor arguments."""
+    Differentiable w.r.t. all five tensor arguments. `store_h=True` keeps
+    the (rows, 2·inner) pre-GEGLU activation (storage dtype) as a backward
+    residual instead of recomputing it twice — see module docstring."""
     out, _ = _ff_block_fwd(x, g_pre, w_in, g_inner, w_out,
-                           block_rows, block_cols, interpret)
+                           block_rows, block_cols, interpret, store_h)
     return out
 
 
@@ -287,19 +479,26 @@ def _clamp_blocks(x, w_in, block_rows, block_cols):
 
 
 def _ff_block_fwd(x, g_pre, w_in, g_inner, w_out,
-                  block_rows, block_cols, interpret):
+                  block_rows, block_cols, interpret, store_h=False):
     interpret = _resolve_interpret(interpret)
     block_rows, block_cols = _clamp_blocks(x, w_in, block_rows, block_cols)
     x2, rows, lead = _flatten_pad(x, block_rows)
+    if store_h:
+        out, h2 = _ff_block_fwd_store_call(x2, g_pre, w_in, g_inner, w_out,
+                                           block_rows, interpret)
+        # h stays flat-padded: the backward re-pads x to the same layout
+        return (out[:rows].reshape(x.shape),
+                (x, g_pre, w_in, g_inner, w_out, h2))
     out = _ff_block_fwd_call(x2, g_pre, w_in, g_inner, w_out,
                              block_rows, interpret)
-    return out[:rows].reshape(x.shape), (x, g_pre, w_in, g_inner, w_out)
+    return out[:rows].reshape(x.shape), (x, g_pre, w_in, g_inner, w_out, None)
 
 
-def _ff_block_bwd(block_rows, block_cols, interpret, res, dout):
-    x, g_pre, w_in, g_inner, w_out = res
+def _ff_block_bwd(block_rows, block_cols, interpret, store_h, res, dout):
+    x, g_pre, w_in, g_inner, w_out, h2 = res
     interpret = _resolve_interpret(interpret)
     block_rows, block_cols = _clamp_blocks(x, w_in, block_rows, block_cols)
+    fwd_block_rows = block_rows
     # the dx pass keeps w_in, w_out, the fp32 h and dh tiles and ~10 smaller
     # temporaries live at once — at (256, 512→4096) that lands 32K over the
     # 16M scoped-vmem limit, so the backward runs at half the forward tile
@@ -309,24 +508,39 @@ def _ff_block_bwd(block_rows, block_cols, interpret, res, dout):
     inner = two_inner // 2
     eps = _eps_for(x.dtype)
 
-    x2, rows, lead = _flatten_pad(x, block_rows)
-    do2, _, _ = _flatten_pad(dout.astype(x.dtype), block_rows)
+    # with store_h, x/do must match h2's row padding (the FORWARD tile's
+    # round-up — divisible by the halved backward tile, so the grid still
+    # tiles exactly and no copy of h2 is needed)
+    pad_unit = fwd_block_rows if store_h else block_rows
+    x2, rows, lead = _flatten_pad(x, pad_unit)
+    do2, _, _ = _flatten_pad(dout.astype(x.dtype), pad_unit)
     rows_pad = x2.shape[0]
     nb = rows_pad // block_rows
+    assert h2 is None or h2.shape[0] == rows_pad, (h2.shape, rows_pad)
 
     row_vec = lambda: pl.BlockSpec((block_rows, 1), lambda i: (i, 0))
+    dx_in_specs = [
+        pl.BlockSpec((block_rows, d), lambda i: (i, 0)),
+        pl.BlockSpec((1, d), lambda i: (0, 0)),
+        pl.BlockSpec((d, two_inner), lambda i: (0, 0)),
+        pl.BlockSpec((1, inner), lambda i: (0, 0)),
+        pl.BlockSpec((inner, d), lambda i: (0, 0)),
+        pl.BlockSpec((block_rows, d), lambda i: (i, 0)),
+    ]
+    dx_args = [x2, g_pre[None, :], w_in, g_inner[None, :], w_out, do2]
+    if store_h:
+        kernel1 = functools.partial(_bwd_dx_kernel_stored, eps_pre=eps,
+                                    eps_in=eps, num_blocks=nb)
+        dx_in_specs.append(
+            pl.BlockSpec((block_rows, two_inner), lambda i: (i, 0)))
+        dx_args.append(h2)
+    else:
+        kernel1 = functools.partial(_bwd_dx_kernel, eps_pre=eps, eps_in=eps,
+                                    num_blocks=nb)
     dx, s_mean, s_inv, s_m1, s_m2, dgpre, dgin = pl.pallas_call(
-        functools.partial(_bwd_dx_kernel, eps_pre=eps, eps_in=eps,
-                          num_blocks=nb),
+        kernel1,
         grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((block_rows, d), lambda i: (i, 0)),
-            pl.BlockSpec((1, d), lambda i: (0, 0)),
-            pl.BlockSpec((d, two_inner), lambda i: (0, 0)),
-            pl.BlockSpec((1, inner), lambda i: (0, 0)),
-            pl.BlockSpec((inner, d), lambda i: (0, 0)),
-            pl.BlockSpec((block_rows, d), lambda i: (i, 0)),
-        ],
+        in_specs=dx_in_specs,
         out_specs=[
             pl.BlockSpec((block_rows, d), lambda i: (i, 0)),
             row_vec(), row_vec(), row_vec(), row_vec(),
@@ -347,47 +561,74 @@ def _ff_block_bwd(block_rows, block_cols, interpret, res, dout):
             pltpu.VMEM((1, inner), jnp.float32),
         ],
         interpret=interpret,
-    )(x2, g_pre[None, :], w_in, g_inner[None, :], w_out, do2)
+    )(*dx_args)
 
     # pass 2: dW over (column blocks × row blocks); columns of the inner dim
     # are independent given the per-row stats, so each column block
     # accumulates its dW slice across the sequential row grid
     ncb = inner // block_cols
     assert inner % block_cols == 0, (inner, block_cols)
-    w_in_a, w_in_b = w_in[:, :inner], w_in[:, inner:]
 
     stat_vec = lambda: pl.BlockSpec((block_rows, 1), lambda j, r: (r, 0))
-    dwina, dwinb, dwout = pl.pallas_call(
-        functools.partial(_bwd_dw_kernel, eps_pre=eps, num_row_blocks=nb),
-        grid=(ncb, nb),
-        in_specs=[
-            pl.BlockSpec((block_rows, d), lambda j, r: (r, 0)),
-            pl.BlockSpec((1, d), lambda j, r: (0, 0)),
-            pl.BlockSpec((d, block_cols), lambda j, r: (0, j)),
-            pl.BlockSpec((d, block_cols), lambda j, r: (0, j)),
-            pl.BlockSpec((1, block_cols), lambda j, r: (0, j)),
-            pl.BlockSpec((block_cols, d), lambda j, r: (j, 0)),
-            pl.BlockSpec((block_rows, d), lambda j, r: (r, 0)),
-            stat_vec(), stat_vec(), stat_vec(), stat_vec(),
-        ],
-        out_specs=[
-            pl.BlockSpec((d, block_cols), lambda j, r: (0, j)),
-            pl.BlockSpec((d, block_cols), lambda j, r: (0, j)),
-            pl.BlockSpec((block_cols, d), lambda j, r: (j, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((d, inner), jnp.float32),
-            jax.ShapeDtypeStruct((d, inner), jnp.float32),
-            jax.ShapeDtypeStruct((inner, d), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((d, block_cols), jnp.float32),
-            pltpu.VMEM((d, block_cols), jnp.float32),
-            pltpu.VMEM((block_cols, d), jnp.float32),
-        ],
-        interpret=interpret,
-    )(x2, g_pre[None, :], w_in_a, w_in_b, g_inner[None, :], w_out, do2,
-      s_mean, s_inv, s_m1, s_m2)
+    dw_out_specs = [
+        pl.BlockSpec((d, block_cols), lambda j, r: (0, j)),
+        pl.BlockSpec((d, block_cols), lambda j, r: (0, j)),
+        pl.BlockSpec((block_cols, d), lambda j, r: (j, 0)),
+    ]
+    dw_out_shape = [
+        jax.ShapeDtypeStruct((d, inner), jnp.float32),
+        jax.ShapeDtypeStruct((d, inner), jnp.float32),
+        jax.ShapeDtypeStruct((inner, d), jnp.float32),
+    ]
+    dw_scratch = [
+        pltpu.VMEM((d, block_cols), jnp.float32),
+        pltpu.VMEM((d, block_cols), jnp.float32),
+        pltpu.VMEM((block_cols, d), jnp.float32),
+    ]
+    if store_h:
+        dwina, dwinb, dwout = pl.pallas_call(
+            functools.partial(_bwd_dw_kernel_stored, eps_pre=eps,
+                              num_row_blocks=nb),
+            grid=(ncb, nb),
+            in_specs=[
+                pl.BlockSpec((block_rows, d), lambda j, r: (r, 0)),
+                pl.BlockSpec((1, d), lambda j, r: (0, 0)),
+                pl.BlockSpec((1, block_cols), lambda j, r: (0, j)),
+                pl.BlockSpec((block_cols, d), lambda j, r: (j, 0)),
+                pl.BlockSpec((block_rows, d), lambda j, r: (r, 0)),
+                # h column slices: a-half then b-half (offset by inner)
+                pl.BlockSpec((block_rows, block_cols), lambda j, r: (r, j)),
+                pl.BlockSpec((block_rows, block_cols),
+                             lambda j, r: (r, j + ncb)),
+                stat_vec(), stat_vec(), stat_vec(), stat_vec(),
+            ],
+            out_specs=dw_out_specs,
+            out_shape=dw_out_shape,
+            scratch_shapes=dw_scratch,
+            interpret=interpret,
+        )(x2, g_pre[None, :], g_inner[None, :], w_out, do2, h2, h2,
+          s_mean, s_inv, s_m1, s_m2)
+    else:
+        w_in_a, w_in_b = w_in[:, :inner], w_in[:, inner:]
+        dwina, dwinb, dwout = pl.pallas_call(
+            functools.partial(_bwd_dw_kernel, eps_pre=eps, num_row_blocks=nb),
+            grid=(ncb, nb),
+            in_specs=[
+                pl.BlockSpec((block_rows, d), lambda j, r: (r, 0)),
+                pl.BlockSpec((1, d), lambda j, r: (0, 0)),
+                pl.BlockSpec((d, block_cols), lambda j, r: (0, j)),
+                pl.BlockSpec((d, block_cols), lambda j, r: (0, j)),
+                pl.BlockSpec((1, block_cols), lambda j, r: (0, j)),
+                pl.BlockSpec((block_cols, d), lambda j, r: (j, 0)),
+                pl.BlockSpec((block_rows, d), lambda j, r: (r, 0)),
+                stat_vec(), stat_vec(), stat_vec(), stat_vec(),
+            ],
+            out_specs=dw_out_specs,
+            out_shape=dw_out_shape,
+            scratch_shapes=dw_scratch,
+            interpret=interpret,
+        )(x2, g_pre[None, :], w_in_a, w_in_b, g_inner[None, :], w_out, do2,
+          s_mean, s_inv, s_m1, s_m2)
 
     dw_in = jnp.concatenate([dwina, dwinb], axis=-1).astype(w_in.dtype)
     return (dx[:rows].reshape(x.shape),
@@ -398,7 +639,8 @@ def _ff_block_bwd(block_rows, block_cols, interpret, res, dout):
 
 
 ff_block.defvjp(
-    lambda x, g_pre, w_in, g_inner, w_out, block_rows, block_cols, interpret:
+    lambda x, g_pre, w_in, g_inner, w_out, block_rows, block_cols, interpret,
+           store_h:
         _ff_block_fwd(x, g_pre, w_in, g_inner, w_out, block_rows, block_cols,
-                      interpret),
+                      interpret, store_h),
     _ff_block_bwd)

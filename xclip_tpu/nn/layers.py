@@ -340,19 +340,22 @@ def transformer_apply(params, x, *, heads: int, dim_head: int,
             from ..kernels.fused_ff_block import supported as _ffb_ok
             ff_inner = p["ff"]["w_in"]["w"].shape[-1] // 2
             ffb_dropout = bool(training and ff_dropout > 0.0 and rngs)
-            if (ff_impl == "block" and not ffb_dropout
+            if (ff_impl in ("block", "block_stored") and not ffb_dropout
                     and _ffb_ok(x.shape[-1], ff_inner)):
                 # whole-FF-block Pallas kernel (kernels/fused_ff_block.py):
                 # PreNorm LN → w_in → GEGLU → inner LN → w_out → residual in
                 # one pass; backward recomputes the inner activations
-                # tile-wise, so no O(rows·inner) residual ever hits HBM
+                # tile-wise ('block') or reads the forward-stored h
+                # ('block_stored' — trades HBM traffic for the ~80% dW-pass
+                # recompute tax; see the kernel module docstring)
                 from ..kernels.fused_ff_block import ff_block
                 x = ff_block(x, p["ff"]["norm"]["g"], p["ff"]["w_in"]["w"],
-                             p["ff"]["inner_norm"]["g"], p["ff"]["w_out"]["w"])
+                             p["ff"]["inner_norm"]["g"], p["ff"]["w_out"]["w"],
+                             store_h=(ff_impl == "block_stored"))
             else:
-                if ff_impl == "block":
+                if ff_impl in ("block", "block_stored"):
                     _warn_fallback(
-                        "ff_impl='block'",
+                        f"ff_impl='{ff_impl}'",
                         "ff_dropout active in training mode" if ffb_dropout
                         else f"inner width {ff_inner} has no usable column "
                              "block divisor for the dW pass")
