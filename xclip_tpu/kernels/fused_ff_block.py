@@ -235,11 +235,13 @@ def _bwd_dx_kernel(x_ref, gpre_ref, win_ref, gin_ref, wout_ref, do_ref,
 def _bwd_dx_kernel_stored(x_ref, gpre_ref, win_ref, gin_ref, wout_ref,
                           do_ref, h_ref,
                           dx_ref, mean_ref, inv_ref, m1_ref, m2_ref,
-                          dgpre_ref, dgin_ref,
+                          dprod_ref, dgpre_ref, dgin_ref,
                           dgpre_scr, dgin_scr, *, eps_pre, eps_in,
                           num_blocks):
     """Pass 1 with the forward-stored h: identical math to _bwd_dx_kernel
-    but the x@w_in recompute is replaced by a read of h."""
+    but the x@w_in recompute is replaced by a read of h. Also emits dprod
+    (storage dtype) so pass 2 can skip the dy = do@w_out^T dot and the
+    inner-LN backward entirely."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -281,6 +283,7 @@ def _bwd_dx_kernel_stored(x_ref, gpre_ref, win_ref, gin_ref, wout_ref,
     inv_ref[...] = inv_in
     m1_ref[...] = m1
     m2_ref[...] = m2
+    dprod_ref[...] = dprod.astype(dprod_ref.dtype)
 
     da = dprod * gelu_b
     db = dprod * a * _gelu_grad(b)
@@ -362,15 +365,17 @@ def _bwd_dw_kernel(x_ref, gpre_ref, wina_ref, winb_ref, gin_ref, wout_ref,
         dwout_ref[...] = dwout_scr[...].astype(dwout_ref.dtype)
 
 
-def _bwd_dw_kernel_stored(x_ref, gpre_ref, gin_ref, wout_ref, do_ref,
-                          ha_ref, hb_ref,
-                          mean_ref, inv_ref, m1_ref, m2_ref,
+def _bwd_dw_kernel_stored(x_ref, gpre_ref, gin_ref, do_ref,
+                          ha_ref, hb_ref, dprod_ref,
+                          mean_ref, inv_ref,
                           dwina_ref, dwinb_ref, dwout_ref,
                           dwina_scr, dwinb_scr, dwout_scr,
                           *, eps_pre, num_row_blocks):
-    """Pass 2 with the forward-stored h: the per-column-block a/b recompute
-    (two x@w_in slices) is replaced by reads of h's column slices; xn is an
-    elementwise LN recompute of the x tile (no matmul)."""
+    """Pass 2 with the forward-stored h and pass-1-stored dprod: the
+    per-column-block a/b recompute (two x@w_in slices) becomes reads of h's
+    column slices, the dy = do@w_out^T dot and inner-LN backward become a
+    read of dprod, and xn is an elementwise LN recompute of the x tile —
+    leaving only the three dW dots as matmul work."""
     r = pl.program_id(1)
 
     @pl.when(r == 0)
@@ -385,8 +390,6 @@ def _bwd_dw_kernel_stored(x_ref, gpre_ref, gin_ref, wout_ref, do_ref,
     gin32 = gin_ref[...].astype(jnp.float32)
     mean_in = mean_ref[...]
     inv_in = inv_ref[...]
-    m1 = m1_ref[...]
-    m2 = m2_ref[...]
 
     x32 = x.astype(jnp.float32)
     xn32, _, _ = _ln_fp32(x32, gpre32, eps_pre)
@@ -398,9 +401,7 @@ def _bwd_dw_kernel_stored(x_ref, gpre_ref, gin_ref, wout_ref, do_ref,
     prod = a * gelu_b
     xhat = (prod - mean_in) * inv_in
 
-    dy = jax.lax.dot_general(do, wout_ref[...], (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    dprod = inv_in * (dy * gin32 - m1 - xhat * m2)
+    dprod = dprod_ref[...].astype(jnp.float32)
 
     da = (dprod * gelu_b).astype(x.dtype)
     db = (dprod * a * _gelu_grad(b)).astype(x.dtype)
@@ -528,40 +529,54 @@ def _ff_block_bwd(block_rows, block_cols, interpret, store_h, res, dout):
         pl.BlockSpec((block_rows, d), lambda i: (i, 0)),
     ]
     dx_args = [x2, g_pre[None, :], w_in, g_inner[None, :], w_out, do2]
+    dx_out_specs = [
+        pl.BlockSpec((block_rows, d), lambda i: (i, 0)),
+        row_vec(), row_vec(), row_vec(), row_vec(),
+    ]
+    dx_out_shape = [
+        jax.ShapeDtypeStruct((rows_pad, d), x.dtype),
+        jax.ShapeDtypeStruct((rows_pad, 1), jnp.float32),
+        jax.ShapeDtypeStruct((rows_pad, 1), jnp.float32),
+        jax.ShapeDtypeStruct((rows_pad, 1), jnp.float32),
+        jax.ShapeDtypeStruct((rows_pad, 1), jnp.float32),
+    ]
     if store_h:
         kernel1 = functools.partial(_bwd_dx_kernel_stored, eps_pre=eps,
                                     eps_in=eps, num_blocks=nb)
         dx_in_specs.append(
             pl.BlockSpec((block_rows, two_inner), lambda i: (i, 0)))
         dx_args.append(h2)
+        # extra output: dprod for the dW pass
+        dx_out_specs.append(pl.BlockSpec((block_rows, inner), lambda i: (i, 0)))
+        dx_out_shape.append(jax.ShapeDtypeStruct((rows_pad, inner), x.dtype))
     else:
         kernel1 = functools.partial(_bwd_dx_kernel, eps_pre=eps, eps_in=eps,
                                     num_blocks=nb)
-    dx, s_mean, s_inv, s_m1, s_m2, dgpre, dgin = pl.pallas_call(
+    dx_out_specs += [
+        pl.BlockSpec((1, d), lambda i: (0, 0)),
+        pl.BlockSpec((1, inner), lambda i: (0, 0)),
+    ]
+    dx_out_shape += [
+        jax.ShapeDtypeStruct((1, d), jnp.float32),
+        jax.ShapeDtypeStruct((1, inner), jnp.float32),
+    ]
+    outs = pl.pallas_call(
         kernel1,
         grid=(nb,),
         in_specs=dx_in_specs,
-        out_specs=[
-            pl.BlockSpec((block_rows, d), lambda i: (i, 0)),
-            row_vec(), row_vec(), row_vec(), row_vec(),
-            pl.BlockSpec((1, d), lambda i: (0, 0)),
-            pl.BlockSpec((1, inner), lambda i: (0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((rows_pad, d), x.dtype),
-            jax.ShapeDtypeStruct((rows_pad, 1), jnp.float32),
-            jax.ShapeDtypeStruct((rows_pad, 1), jnp.float32),
-            jax.ShapeDtypeStruct((rows_pad, 1), jnp.float32),
-            jax.ShapeDtypeStruct((rows_pad, 1), jnp.float32),
-            jax.ShapeDtypeStruct((1, d), jnp.float32),
-            jax.ShapeDtypeStruct((1, inner), jnp.float32),
-        ],
+        out_specs=dx_out_specs,
+        out_shape=dx_out_shape,
         scratch_shapes=[
             pltpu.VMEM((1, d), jnp.float32),
             pltpu.VMEM((1, inner), jnp.float32),
         ],
         interpret=interpret,
     )(*dx_args)
+    if store_h:
+        dx, s_mean, s_inv, s_m1, s_m2, dprod2, dgpre, dgin = outs
+    else:
+        dx, s_mean, s_inv, s_m1, s_m2, dgpre, dgin = outs
+        dprod2 = None
 
     # pass 2: dW over (column blocks × row blocks); columns of the inner dim
     # are independent given the per-row stats, so each column block
@@ -594,20 +609,20 @@ def _ff_block_bwd(block_rows, block_cols, interpret, store_h, res, dout):
                 pl.BlockSpec((block_rows, d), lambda j, r: (r, 0)),
                 pl.BlockSpec((1, d), lambda j, r: (0, 0)),
                 pl.BlockSpec((1, block_cols), lambda j, r: (0, j)),
-                pl.BlockSpec((block_cols, d), lambda j, r: (j, 0)),
                 pl.BlockSpec((block_rows, d), lambda j, r: (r, 0)),
                 # h column slices: a-half then b-half (offset by inner)
                 pl.BlockSpec((block_rows, block_cols), lambda j, r: (r, j)),
                 pl.BlockSpec((block_rows, block_cols),
                              lambda j, r: (r, j + ncb)),
-                stat_vec(), stat_vec(), stat_vec(), stat_vec(),
+                pl.BlockSpec((block_rows, block_cols), lambda j, r: (r, j)),
+                stat_vec(), stat_vec(),
             ],
             out_specs=dw_out_specs,
             out_shape=dw_out_shape,
             scratch_shapes=dw_scratch,
             interpret=interpret,
-        )(x2, g_pre[None, :], g_inner[None, :], w_out, do2, h2, h2,
-          s_mean, s_inv, s_m1, s_m2)
+        )(x2, g_pre[None, :], g_inner[None, :], do2, h2, h2, dprod2,
+          s_mean, s_inv)
     else:
         w_in_a, w_in_b = w_in[:, :inner], w_in[:, inner:]
         dwina, dwinb, dwout = pl.pallas_call(
