@@ -37,13 +37,17 @@ from ._common import (NEG_INF as _NEG_INF, eps_for as _eps_for,
 
 
 def supported(heads: int, dim_head: int, dim: int, n_pad: int,
-              dtype) -> bool:
+              dtype, store_qkv: bool = False) -> bool:
     """VMEM budget check for the (tighter) backward kernel: weights + fp32
     dW accumulators + row tiles + fp32 temporaries + one score matrix.
     Gate is 15.75MB against the 16MB scoped limit (the flagship text shape —
     8×64 heads, dim 512, n_pad 384 — estimates 15.4MB below and compiles;
     the estimate overcounts double-buffering of the constant-index weight
-    blocks, so the gate deliberately sits close to the hardware limit)."""
+    blocks, so the gate deliberately sits close to the hardware limit).
+
+    `store_qkv=True` (the stored-backward variant): the dW_qkv accumulator
+    leaves VMEM (computed outside from the emitted dqkv) but qkv becomes a
+    double-buffered input and dqkv a double-buffered output."""
     itemsize = 2 if dtype == jnp.bfloat16 else 4
     inner = heads * dim_head
     weights = (dim * 3 * inner + inner * dim) * itemsize
@@ -51,10 +55,10 @@ def supported(heads: int, dim_head: int, dim: int, n_pad: int,
     row_tiles = 6 * n_pad * dim * itemsize          # x/do/dx double-buffered
     qkv_tiles = 2 * n_pad * 3 * inner * itemsize    # qkv + dqkv
     f32_tmp = 5 * n_pad * dim * 4 + 2 * n_pad * n_pad * 4
+    if store_qkv:
+        dw = inner * dim * 4                        # only dW_out stays
+        qkv_tiles *= 2                              # both double-buffered
     total = weights + dw + row_tiles + qkv_tiles + f32_tmp
-    # flagship text shape (8×64 heads, dim 512, n_pad 384) estimates 15.4MB
-    # and compiles on v5e; the estimate overcounts double-buffering of the
-    # constant-index weight blocks
     return total < 15.75 * 1024 * 1024
 
 
@@ -93,13 +97,18 @@ def _dead_rows(mask_row, causal, n_rows, n_real):
 
 
 def _fwd_common(x, gpre32, wqkv, mask_row, scale, causal, heads, dim_head,
-                n_rows, eps, n_real, maybe_dead):
+                n_rows, eps, n_real, maybe_dead, qkv=None):
     """Shared fwd recompute: returns (xhat_pre, inv_pre, xn, qkv,
-    per-head (q, k, v, p, o) list, attnout, dead)."""
+    per-head (q, k, v, p, o) list, attnout, dead). When `qkv` is given
+    (forward-stored variant), the LN stats are still derived from x but the
+    xn@w_qkv dot is skipped and xn is returned as None."""
     x32 = x[:n_rows].astype(jnp.float32)
     xn32, xhat_pre, inv_pre = _ln_fp32(x32, gpre32, eps)
-    xn = xn32.astype(x.dtype)
-    qkv = _dot(xn, wqkv).astype(x.dtype)          # (n_rows, 3·h·d)
+    if qkv is None:
+        xn = xn32.astype(x.dtype)
+        qkv = _dot(xn, wqkv).astype(x.dtype)      # (n_rows, 3·h·d)
+    else:
+        xn = None
     mask_row = mask_row[:, :n_rows]               # keys exist for n_rows only
     dead = uniform = None
     if maybe_dead:
@@ -143,6 +152,99 @@ def _fwd_kernel(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref, mask_ref,
     n_pad = x.shape[0]
     if n_rows < n_pad:
         o_ref[0, n_rows:] = jnp.zeros_like(o_ref[0, n_rows:])
+
+
+def _fwd_kernel_stored(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref,
+                       mask_ref, o_ref, qkv_ref, *, scale, causal, heads,
+                       dim_head, n_rows, eps, n_real, maybe_dead):
+    """Forward that also emits the fused qkv tensor (storage dtype) so the
+    backward can skip the LN + xn@w_qkv recompute."""
+    x = x_ref[0]
+    gpre32 = gpre_ref[...].astype(jnp.float32)
+    gout32 = gout_ref[...].astype(jnp.float32)
+
+    _, _, _, qkv, po, attnout, _ = _fwd_common(
+        x, gpre32, wqkv_ref[...], mask_ref[0], scale, causal, heads,
+        dim_head, n_rows, eps, n_real, maybe_dead)
+    qkv_ref[0, :n_rows] = qkv
+
+    proj = _dot(attnout, wout_ref[...])           # fp32 (n_rows, dim)
+    y32, _, _ = _ln_fp32(proj, gout32, eps)
+    o_ref[0, :n_rows] = y32.astype(o_ref.dtype) + x[:n_rows]
+    n_pad = x.shape[0]
+    if n_rows < n_pad:
+        o_ref[0, n_rows:] = jnp.zeros_like(o_ref[0, n_rows:])
+        qkv_ref[0, n_rows:] = jnp.zeros_like(qkv_ref[0, n_rows:])
+
+
+def _bwd_kernel_stored(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref,
+                       mask_ref, do_ref, qkv_ref,
+                       dx_ref, dqkv_ref, dwout_ref, dgpre_ref, dgout_ref,
+                       *, scale, causal, heads, dim_head, n_rows, eps,
+                       n_real, maybe_dead):
+    """Backward with the forward-stored qkv: identical math to _bwd_kernel
+    but the attention inputs are read, and dW_qkv is NOT accumulated here —
+    dqkv is emitted per batch element and the caller computes
+    dW_qkv = LN(x)^T @ dqkv as one large XLA matmul (freeing the 3MB fp32
+    accumulator that made the two variants mutually exclusive in VMEM)."""
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _init():
+        dwout_ref[...] = jnp.zeros_like(dwout_ref)
+        dgpre_ref[...] = jnp.zeros_like(dgpre_ref)
+        dgout_ref[...] = jnp.zeros_like(dgout_ref)
+
+    x = x_ref[0]
+    do = do_ref[0][:n_rows].astype(jnp.float32)
+    gpre32 = gpre_ref[...].astype(jnp.float32)
+    gout32 = gout_ref[...].astype(jnp.float32)
+    hd = heads * dim_head
+
+    xhat_pre, inv_pre, _, _, po, attnout, dead = _fwd_common(
+        x, gpre32, wqkv_ref[...], mask_ref[0], scale, causal, heads,
+        dim_head, n_rows, eps, n_real, maybe_dead,
+        qkv=qkv_ref[0][:n_rows])
+    proj = _dot(attnout, wout_ref[...])
+    mean_o = jnp.mean(proj, axis=-1, keepdims=True)
+    c_o = proj - mean_o
+    var_o = jnp.mean(c_o * c_o, axis=-1, keepdims=True)
+    inv_o = jax.lax.rsqrt(var_o + eps)
+    xhat_o = c_o * inv_o
+
+    dproj, dg_out = _ln_bwd(do, xhat_o, inv_o, gout32)
+    dgout_ref[...] += dg_out
+
+    dattn = _dot(dproj.astype(x.dtype), wout_ref[...], tb=True)
+    dwout_ref[...] += _dot(attnout, dproj.astype(x.dtype), ta=True)
+
+    dqkv_parts_q, dqkv_parts_k, dqkv_parts_v = [], [], []
+    for h in range(heads):
+        q, k, v, p, o = po[h]
+        do_h = dattn[:, h * dim_head:(h + 1) * dim_head].astype(jnp.float32)
+        delta = jnp.sum(do_h * o, axis=-1, keepdims=True)
+        dp = _dot(do_h.astype(v.dtype), v, tb=True)
+        ds = p * (dp - delta) * scale
+        if maybe_dead:
+            ds = jnp.where(dead, 0.0, ds)
+        ds = ds.astype(x.dtype)
+        dqkv_parts_q.append(_dot(ds, k))
+        dqkv_parts_k.append(_dot(ds, q, ta=True))
+        dqkv_parts_v.append(_dot(p.astype(x.dtype), do_h.astype(x.dtype),
+                                 ta=True))
+    dqkv = jnp.concatenate(
+        dqkv_parts_q + dqkv_parts_k + dqkv_parts_v, axis=-1).astype(x.dtype)
+    dqkv_ref[0, :n_rows] = dqkv
+
+    dxn = _dot(dqkv, wqkv_ref[...], tb=True)
+    dx_pre, dg_pre = _ln_bwd(dxn, xhat_pre, inv_pre, gpre32)
+    dgpre_ref[...] += dg_pre
+
+    dx_ref[0, :n_rows] = (dx_pre + do).astype(dx_ref.dtype)
+    n_pad = x.shape[0]
+    if n_rows < n_pad:
+        dx_ref[0, n_rows:] = jnp.zeros_like(dx_ref[0, n_rows:])
+        dqkv_ref[0, n_rows:] = jnp.zeros_like(dqkv_ref[0, n_rows:])
 
 
 def _bwd_kernel(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref, mask_ref,
@@ -217,16 +319,20 @@ def _bwd_kernel(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref, mask_ref,
         dx_ref[0, n_rows:] = jnp.zeros_like(dx_ref[0, n_rows:])
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
 def attention_block(x, g_pre, w_qkv, w_out, g_out, mask,
                     heads, dim_head, scale, causal=False, interpret=None,
-                    maybe_dead=True):
+                    maybe_dead=True, store_qkv=False):
     """x: (b, n, dim); returns x + LN(W_out · attention(LN(x)·W_qkv)).
     Differentiable w.r.t. the five tensor arguments. `maybe_dead=False`
     (static) skips the all-keys-masked row handling — pass it when the
-    mask is known to be all-True (e.g. synthesized for mask=None)."""
+    mask is known to be all-True (e.g. synthesized for mask=None).
+    `store_qkv=True` keeps the fused qkv tensor as a backward residual
+    instead of recomputing LN + xn@w_qkv per batch element (check
+    `supported(..., store_qkv=True)`)."""
     out, _ = _mega_fwd(x, g_pre, w_qkv, w_out, g_out, mask,
-                       heads, dim_head, scale, causal, interpret, maybe_dead)
+                       heads, dim_head, scale, causal, interpret, maybe_dead,
+                       store_qkv)
     return out
 
 
@@ -242,14 +348,24 @@ def _prep(x, mask, interpret):
 
 
 def _mega_fwd(x, g_pre, w_qkv, w_out, g_out, mask,
-              heads, dim_head, scale, causal, interpret, maybe_dead):
+              heads, dim_head, scale, causal, interpret, maybe_dead,
+              store_qkv=False):
     x_p, key_valid, n, n_pad, interp = _prep(x, mask, interpret)
     b, _, dim = x_p.shape
     n_rows = min(_round_up(n, 16), n_pad)
     eps = _eps_for(x.dtype)
+    hd = w_qkv.shape[-1] // 3
 
-    out = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, causal=causal,
+    kernel = _fwd_kernel_stored if store_qkv else _fwd_kernel
+    out_specs = pl.BlockSpec((1, n_pad, dim), lambda i: (i, 0, 0))
+    out_shape = jax.ShapeDtypeStruct((b, n_pad, dim), x.dtype)
+    if store_qkv:
+        out_specs = [out_specs,
+                     pl.BlockSpec((1, n_pad, 3 * hd), lambda i: (i, 0, 0))]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((b, n_pad, 3 * hd), x.dtype)]
+    res = pl.pallas_call(
+        functools.partial(kernel, scale=scale, causal=causal,
                           heads=heads, dim_head=dim_head, n_rows=n_rows,
                           eps=eps, n_real=n, maybe_dead=maybe_dead),
         grid=(b,),
@@ -261,25 +377,29 @@ def _mega_fwd(x, g_pre, w_qkv, w_out, g_out, mask,
             pl.BlockSpec((1, dim), lambda i: (0, 0)),
             pl.BlockSpec((1, 1, n_pad), lambda i: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, n_pad, dim), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, n_pad, dim), x.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interp,
     )(x_p, g_pre[None, :], w_qkv, w_out, g_out[None, :], key_valid)
-    return out[:, :n], (x_p, key_valid)
+    if store_qkv:
+        out, qkv = res
+        return out[:, :n], (x_p, key_valid, qkv)
+    return res[:, :n], (x_p, key_valid, None)
 
 
 # the weights are needed in the backward: carry them as residuals
 def _mega_fwd_vjp(x, g_pre, w_qkv, w_out, g_out, mask,
-                  heads, dim_head, scale, causal, interpret, maybe_dead):
-    out, (x_p, key_valid) = _mega_fwd(
+                  heads, dim_head, scale, causal, interpret, maybe_dead,
+                  store_qkv):
+    out, (x_p, key_valid, qkv) = _mega_fwd(
         x, g_pre, w_qkv, w_out, g_out, mask,
-        heads, dim_head, scale, causal, interpret, maybe_dead)
-    return out, (x_p, key_valid, g_pre, w_qkv, w_out, g_out, x.shape)
+        heads, dim_head, scale, causal, interpret, maybe_dead, store_qkv)
+    return out, (x_p, key_valid, qkv, g_pre, w_qkv, w_out, g_out, x.shape)
 
 
 def _mega_bwd_vjp(heads, dim_head, scale, causal, interpret, maybe_dead,
-                  res, dout):
-    x_p, key_valid, g_pre, w_qkv, w_out, g_out, x_shape = res
+                  store_qkv, res, dout):
+    x_p, key_valid, qkv, g_pre, w_qkv, w_out, g_out, x_shape = res
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, n_pad, dim = x_p.shape
@@ -289,36 +409,74 @@ def _mega_bwd_vjp(heads, dim_head, scale, causal, interpret, maybe_dead,
     hd = heads * dim_head
     do_p = jnp.pad(dout.astype(x_p.dtype), ((0, 0), (0, n_pad - n), (0, 0)))
 
-    dx, dwqkv, dwout, dgpre, dgout = pl.pallas_call(
-        functools.partial(_bwd_kernel, scale=scale, causal=causal,
-                          heads=heads, dim_head=dim_head, n_rows=n_rows,
-                          eps=eps, n_real=n, maybe_dead=maybe_dead),
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, n_pad, dim), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, dim), lambda i: (0, 0)),
-            pl.BlockSpec((dim, 3 * hd), lambda i: (0, 0)),
-            pl.BlockSpec((hd, dim), lambda i: (0, 0)),
-            pl.BlockSpec((1, dim), lambda i: (0, 0)),
-            pl.BlockSpec((1, 1, n_pad), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, n_pad, dim), lambda i: (i, 0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, n_pad, dim), lambda i: (i, 0, 0)),
-            pl.BlockSpec((dim, 3 * hd), lambda i: (0, 0)),
-            pl.BlockSpec((hd, dim), lambda i: (0, 0)),
-            pl.BlockSpec((1, dim), lambda i: (0, 0)),
-            pl.BlockSpec((1, dim), lambda i: (0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, n_pad, dim), x_p.dtype),
-            jax.ShapeDtypeStruct((dim, 3 * hd), jnp.float32),
-            jax.ShapeDtypeStruct((hd, dim), jnp.float32),
-            jax.ShapeDtypeStruct((1, dim), jnp.float32),
-            jax.ShapeDtypeStruct((1, dim), jnp.float32),
-        ],
-        interpret=interpret,
-    )(x_p, g_pre[None, :], w_qkv, w_out, g_out[None, :], key_valid, do_p)
+    in_specs = [
+        pl.BlockSpec((1, n_pad, dim), lambda i: (i, 0, 0)),
+        pl.BlockSpec((1, dim), lambda i: (0, 0)),
+        pl.BlockSpec((dim, 3 * hd), lambda i: (0, 0)),
+        pl.BlockSpec((hd, dim), lambda i: (0, 0)),
+        pl.BlockSpec((1, dim), lambda i: (0, 0)),
+        pl.BlockSpec((1, 1, n_pad), lambda i: (i, 0, 0)),
+        pl.BlockSpec((1, n_pad, dim), lambda i: (i, 0, 0)),
+    ]
+    args = [x_p, g_pre[None, :], w_qkv, w_out, g_out[None, :], key_valid,
+            do_p]
+    if store_qkv:
+        in_specs.append(pl.BlockSpec((1, n_pad, 3 * hd), lambda i: (i, 0, 0)))
+        args.append(qkv)
+        dx, dqkv, dwout, dgpre, dgout = pl.pallas_call(
+            functools.partial(_bwd_kernel_stored, scale=scale, causal=causal,
+                              heads=heads, dim_head=dim_head, n_rows=n_rows,
+                              eps=eps, n_real=n, maybe_dead=maybe_dead),
+            grid=(b,),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((1, n_pad, dim), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, n_pad, 3 * hd), lambda i: (i, 0, 0)),
+                pl.BlockSpec((hd, dim), lambda i: (0, 0)),
+                pl.BlockSpec((1, dim), lambda i: (0, 0)),
+                pl.BlockSpec((1, dim), lambda i: (0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, n_pad, dim), x_p.dtype),
+                jax.ShapeDtypeStruct((b, n_pad, 3 * hd), x_p.dtype),
+                jax.ShapeDtypeStruct((hd, dim), jnp.float32),
+                jax.ShapeDtypeStruct((1, dim), jnp.float32),
+                jax.ShapeDtypeStruct((1, dim), jnp.float32),
+            ],
+            interpret=interpret,
+        )(*args)
+        # dW_qkv = LN(x)^T @ dqkv — one big clean XLA matmul over the
+        # flattened batch (pad rows carry dqkv = 0, so they contribute
+        # nothing; pad rows of x LayerNorm to 0 as well)
+        gpre32 = g_pre.astype(jnp.float32)
+        xn, _, _ = _ln_fp32(x_p.astype(jnp.float32), gpre32, eps)
+        dwqkv = jax.lax.dot_general(
+            xn.reshape(-1, dim).astype(x_p.dtype),
+            dqkv.reshape(-1, 3 * hd),
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    else:
+        dx, dwqkv, dwout, dgpre, dgout = pl.pallas_call(
+            functools.partial(_bwd_kernel, scale=scale, causal=causal,
+                              heads=heads, dim_head=dim_head, n_rows=n_rows,
+                              eps=eps, n_real=n, maybe_dead=maybe_dead),
+            grid=(b,),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((1, n_pad, dim), lambda i: (i, 0, 0)),
+                pl.BlockSpec((dim, 3 * hd), lambda i: (0, 0)),
+                pl.BlockSpec((hd, dim), lambda i: (0, 0)),
+                pl.BlockSpec((1, dim), lambda i: (0, 0)),
+                pl.BlockSpec((1, dim), lambda i: (0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, n_pad, dim), x_p.dtype),
+                jax.ShapeDtypeStruct((dim, 3 * hd), jnp.float32),
+                jax.ShapeDtypeStruct((hd, dim), jnp.float32),
+                jax.ShapeDtypeStruct((1, dim), jnp.float32),
+                jax.ShapeDtypeStruct((1, dim), jnp.float32),
+            ],
+            interpret=interpret,
+        )(*args)
 
     dmask = np.zeros((b, n), dtype=jax.dtypes.float0)
     return (dx[:, :n], dgpre[0].astype(g_pre.dtype),

@@ -306,12 +306,18 @@ def transformer_apply(params, x, *, heads: int, dim_head: int,
     remat_wide = (training and checkpoint_during_training
                   and remat_policy == "wide")
 
-    use_mega = False
+    use_mega = mega_store = False
     if attn_impl == "fused" and rotary is None and not (
             training and attn_dropout > 0.0 and rng is not None):
         from ..kernels.attention_megablock import supported as _mega_ok
         n_pad = ((x.shape[1] + 127) // 128) * 128
-        use_mega = _mega_ok(heads, dim_head, x.shape[-1], n_pad, x.dtype)
+        # prefer the stored-qkv backward (skips the LN+qkv recompute per
+        # batch element; the freed dW_qkv accumulator pays for the extra
+        # buffers) and fall back to the recompute variant if VMEM is tight
+        mega_store = _mega_ok(heads, dim_head, x.shape[-1], n_pad, x.dtype,
+                              store_qkv=True)
+        use_mega = mega_store or _mega_ok(heads, dim_head, x.shape[-1],
+                                          n_pad, x.dtype)
 
     def block(x, layer):
         p, lrng = layer
@@ -329,7 +335,7 @@ def transformer_apply(params, x, *, heads: int, dim_head: int,
                     x, p["attn"]["norm"]["g"], p["attn"]["to_qkv"]["w"],
                     p["attn"]["to_out"]["w"], p["attn"]["out_norm"]["g"],
                     key_mask, heads, dim_head, dim_head ** -0.5, causal,
-                    None, mask is not None)
+                    None, mask is not None, mega_store)
             else:
                 x = attention_apply(
                     p["attn"], x, heads=heads, dim_head=dim_head,
