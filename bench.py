@@ -9,7 +9,16 @@ vs_baseline is the ratio to BASELINE.json's 3k pairs/sec/chip north star
 """
 
 import json
+import os
 import time
+
+# must precede backend init (libtpu reads it at dlopen): the Mosaic scoped
+# VMEM default of 16MB leaves half the v5e's 128MB VMEM unused and blocks
+# the larger whole-block kernel tiles — 24MB measured best (README)
+_args = os.environ.get("LIBTPU_INIT_ARGS", "")
+if "scoped_vmem" not in _args:
+    os.environ["LIBTPU_INIT_ARGS"] = (
+        _args + " --xla_tpu_scoped_vmem_limit_kib=24576").strip()
 
 import jax
 import jax.numpy as jnp

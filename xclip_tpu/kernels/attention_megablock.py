@@ -99,17 +99,32 @@ def _dead_rows(mask_row, causal, n_rows, n_real):
 def _fwd_common(x, gpre32, wqkv, mask_row, scale, causal, heads, dim_head,
                 n_rows, eps, n_real, maybe_dead, qkv=None):
     """Shared fwd recompute: returns (xhat_pre, inv_pre, xn, qkv,
-    per-head (q, k, v, p, o) list, attnout, dead). When `qkv` is given
-    (forward-stored variant), the LN stats are still derived from x but the
-    xn@w_qkv dot is skipped and xn is returned as None."""
-    x32 = x[:n_rows].astype(jnp.float32)
+    per-head (q, k, v, p, o) list, attnout, dead, row_valid). When `qkv` is
+    given (forward-stored variant), the LN stats are still derived from x
+    but the xn@w_qkv dot is skipped and xn is returned as None.
+
+    The kernel runs on UNPADDED (b, n, dim) arrays with an n_pad-sized
+    block: rows/cols in [n_real, n_rows) hold whatever the partial-block
+    DMA left there (possibly NaN), so they are zeroed here ONCE per
+    program — qkv rows (kills garbage q/k/v), the mask's tail columns, and
+    xhat_pre rows (the dgpre accumulation would otherwise read them).
+    Output writes beyond n_real are hardware-masked."""
+    row_valid = (jax.lax.broadcasted_iota(jnp.int32, (n_rows, 1), 0)
+                 < n_real)
+    # zeroing x BEFORE the LN makes xhat_pre/xn naturally zero in the
+    # garbage rows (one where instead of two — the bwd kernel sits ~150K
+    # from the scoped-VMEM limit at the flagship shape)
+    x32 = jnp.where(row_valid, x[:n_rows].astype(jnp.float32), 0.0)
     xn32, xhat_pre, inv_pre = _ln_fp32(x32, gpre32, eps)
     if qkv is None:
         xn = xn32.astype(x.dtype)
         qkv = _dot(xn, wqkv).astype(x.dtype)      # (n_rows, 3·h·d)
     else:
         xn = None
+        qkv = jnp.where(row_valid, qkv[:n_rows], 0).astype(x.dtype)
     mask_row = mask_row[:, :n_rows]               # keys exist for n_rows only
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, n_rows), 1)
+    mask_row = jnp.where(col_iota < n_real, mask_row, 0)
     dead = uniform = None
     if maybe_dead:
         dead, uniform = _dead_rows(mask_row, causal, n_rows, n_real)
@@ -132,7 +147,7 @@ def _fwd_common(x, gpre32, wqkv, mask_row, scale, causal, heads, dim_head,
         po.append((q, k, v, p, o))
     attnout = jnp.concatenate([o for (_, _, _, _, o) in po],
                               axis=-1).astype(x.dtype)
-    return xhat_pre, inv_pre, xn, qkv, po, attnout, dead
+    return xhat_pre, inv_pre, xn, qkv, po, attnout, dead, row_valid
 
 
 def _fwd_kernel(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref, mask_ref,
@@ -142,16 +157,13 @@ def _fwd_kernel(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref, mask_ref,
     gpre32 = gpre_ref[...].astype(jnp.float32)
     gout32 = gout_ref[...].astype(jnp.float32)
 
-    _, _, _, _, po, attnout, _ = _fwd_common(
+    _, _, _, _, po, attnout, _, _ = _fwd_common(
         x, gpre32, wqkv_ref[...], mask_ref[0], scale, causal, heads,
         dim_head, n_rows, eps, n_real, maybe_dead)
 
     proj = _dot(attnout, wout_ref[...])           # fp32 (n_rows, dim)
     y32, _, _ = _ln_fp32(proj, gout32, eps)
     o_ref[0, :n_rows] = y32.astype(o_ref.dtype) + x[:n_rows]
-    n_pad = x.shape[0]
-    if n_rows < n_pad:
-        o_ref[0, n_rows:] = jnp.zeros_like(o_ref[0, n_rows:])
 
 
 def _fwd_kernel_stored(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref,
@@ -163,7 +175,7 @@ def _fwd_kernel_stored(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref,
     gpre32 = gpre_ref[...].astype(jnp.float32)
     gout32 = gout_ref[...].astype(jnp.float32)
 
-    _, _, _, qkv, po, attnout, _ = _fwd_common(
+    _, _, _, qkv, po, attnout, _, _ = _fwd_common(
         x, gpre32, wqkv_ref[...], mask_ref[0], scale, causal, heads,
         dim_head, n_rows, eps, n_real, maybe_dead)
     qkv_ref[0, :n_rows] = qkv
@@ -171,10 +183,6 @@ def _fwd_kernel_stored(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref,
     proj = _dot(attnout, wout_ref[...])           # fp32 (n_rows, dim)
     y32, _, _ = _ln_fp32(proj, gout32, eps)
     o_ref[0, :n_rows] = y32.astype(o_ref.dtype) + x[:n_rows]
-    n_pad = x.shape[0]
-    if n_rows < n_pad:
-        o_ref[0, n_rows:] = jnp.zeros_like(o_ref[0, n_rows:])
-        qkv_ref[0, n_rows:] = jnp.zeros_like(qkv_ref[0, n_rows:])
 
 
 def _bwd_kernel_stored(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref,
@@ -196,15 +204,16 @@ def _bwd_kernel_stored(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref,
         dgout_ref[...] = jnp.zeros_like(dgout_ref)
 
     x = x_ref[0]
-    do = do_ref[0][:n_rows].astype(jnp.float32)
     gpre32 = gpre_ref[...].astype(jnp.float32)
     gout32 = gout_ref[...].astype(jnp.float32)
     hd = heads * dim_head
 
-    xhat_pre, inv_pre, _, _, po, attnout, dead = _fwd_common(
+    xhat_pre, inv_pre, _, _, po, attnout, dead, row_valid = _fwd_common(
         x, gpre32, wqkv_ref[...], mask_ref[0], scale, causal, heads,
         dim_head, n_rows, eps, n_real, maybe_dead,
         qkv=qkv_ref[0][:n_rows])
+    # garbage do rows would poison every row-contracted accumulation
+    do = jnp.where(row_valid, do_ref[0][:n_rows].astype(jnp.float32), 0.0)
     proj = _dot(attnout, wout_ref[...])
     mean_o = jnp.mean(proj, axis=-1, keepdims=True)
     c_o = proj - mean_o
@@ -241,10 +250,6 @@ def _bwd_kernel_stored(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref,
     dgpre_ref[...] += dg_pre
 
     dx_ref[0, :n_rows] = (dx_pre + do).astype(dx_ref.dtype)
-    n_pad = x.shape[0]
-    if n_rows < n_pad:
-        dx_ref[0, n_rows:] = jnp.zeros_like(dx_ref[0, n_rows:])
-        dqkv_ref[0, n_rows:] = jnp.zeros_like(dqkv_ref[0, n_rows:])
 
 
 def _bwd_kernel(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref, mask_ref,
@@ -262,14 +267,15 @@ def _bwd_kernel(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref, mask_ref,
         dgout_ref[...] = jnp.zeros_like(dgout_ref)
 
     x = x_ref[0]
-    do = do_ref[0][:n_rows].astype(jnp.float32)
     gpre32 = gpre_ref[...].astype(jnp.float32)
     gout32 = gout_ref[...].astype(jnp.float32)
     hd = heads * dim_head
 
-    xhat_pre, inv_pre, xn, qkv, po, attnout, dead = _fwd_common(
+    xhat_pre, inv_pre, xn, qkv, po, attnout, dead, row_valid = _fwd_common(
         x, gpre32, wqkv_ref[...], mask_ref[0], scale, causal, heads,
         dim_head, n_rows, eps, n_real, maybe_dead)
+    # garbage do rows would poison every row-contracted accumulation
+    do = jnp.where(row_valid, do_ref[0][:n_rows].astype(jnp.float32), 0.0)
     # re-derive out-LN stats from the recomputed projection
     proj = _dot(attnout, wout_ref[...])
     mean_o = jnp.mean(proj, axis=-1, keepdims=True)
@@ -314,9 +320,6 @@ def _bwd_kernel(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref, mask_ref,
     dgpre_ref[...] += dg_pre
 
     dx_ref[0, :n_rows] = (dx_pre + do).astype(dx_ref.dtype)
-    n_pad = x.shape[0]
-    if n_rows < n_pad:
-        dx_ref[0, n_rows:] = jnp.zeros_like(dx_ref[0, n_rows:])
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
@@ -337,14 +340,20 @@ def attention_block(x, g_pre, w_qkv, w_out, g_out, mask,
 
 
 def _prep(x, mask, interpret):
+    """No host-side padding: the pallas_call uses an n_pad-sized block on
+    the TRUE (b, n, ·) arrays — partial-block writes are hardware-masked
+    and the garbage in partial-block READS is zeroed in-kernel
+    (_fwd_common). The explicit jnp.pad/slice pair this replaces cost
+    ~1.6 ms/step of copies at the flagship shape (r3 device trace); 128
+    block alignment is kept (16-sublane alignment was tried and made the
+    bwd kernel overflow scoped VMEM via Mosaic relayout scratch, 17.75M).
+    """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, n, _ = x.shape
     n_pad = _round_up(n, 128)
-    x_p = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
-    key_valid = jnp.pad(mask, ((0, 0), (0, n_pad - n)))
-    key_valid = key_valid.reshape(b, 1, n_pad).astype(jnp.int32)
-    return x_p, key_valid, n, n_pad, interpret
+    key_valid = mask.reshape(b, 1, n).astype(jnp.int32)
+    return x, key_valid, n, n_pad, interpret
 
 
 def _mega_fwd(x, g_pre, w_qkv, w_out, g_out, mask,
@@ -358,12 +367,12 @@ def _mega_fwd(x, g_pre, w_qkv, w_out, g_out, mask,
 
     kernel = _fwd_kernel_stored if store_qkv else _fwd_kernel
     out_specs = pl.BlockSpec((1, n_pad, dim), lambda i: (i, 0, 0))
-    out_shape = jax.ShapeDtypeStruct((b, n_pad, dim), x.dtype)
+    out_shape = jax.ShapeDtypeStruct((b, n, dim), x.dtype)
     if store_qkv:
         out_specs = [out_specs,
                      pl.BlockSpec((1, n_pad, 3 * hd), lambda i: (i, 0, 0))]
         out_shape = [out_shape,
-                     jax.ShapeDtypeStruct((b, n_pad, 3 * hd), x.dtype)]
+                     jax.ShapeDtypeStruct((b, n, 3 * hd), x.dtype)]
     res = pl.pallas_call(
         functools.partial(kernel, scale=scale, causal=causal,
                           heads=heads, dim_head=dim_head, n_rows=n_rows,
@@ -383,8 +392,8 @@ def _mega_fwd(x, g_pre, w_qkv, w_out, g_out, mask,
     )(x_p, g_pre[None, :], w_qkv, w_out, g_out[None, :], key_valid)
     if store_qkv:
         out, qkv = res
-        return out[:, :n], (x_p, key_valid, qkv)
-    return res[:, :n], (x_p, key_valid, None)
+        return out, (x_p, key_valid, qkv)
+    return res, (x_p, key_valid, None)
 
 
 # the weights are needed in the backward: carry them as residuals
@@ -402,12 +411,12 @@ def _mega_bwd_vjp(heads, dim_head, scale, causal, interpret, maybe_dead,
     x_p, key_valid, qkv, g_pre, w_qkv, w_out, g_out, x_shape = res
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    b, n_pad, dim = x_p.shape
-    n = x_shape[1]
+    b, n, dim = x_p.shape
+    n_pad = _round_up(n, 128)
     n_rows = min(_round_up(n, 16), n_pad)
     eps = _eps_for(x_p.dtype)
     hd = heads * dim_head
-    do_p = jnp.pad(dout.astype(x_p.dtype), ((0, 0), (0, n_pad - n), (0, 0)))
+    do_p = dout.astype(x_p.dtype)
 
     in_specs = [
         pl.BlockSpec((1, n_pad, dim), lambda i: (i, 0, 0)),
@@ -437,8 +446,8 @@ def _mega_bwd_vjp(heads, dim_head, scale, causal, interpret, maybe_dead,
                 pl.BlockSpec((1, dim), lambda i: (0, 0)),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((b, n_pad, dim), x_p.dtype),
-                jax.ShapeDtypeStruct((b, n_pad, 3 * hd), x_p.dtype),
+                jax.ShapeDtypeStruct((b, n, dim), x_p.dtype),
+                jax.ShapeDtypeStruct((b, n, 3 * hd), x_p.dtype),
                 jax.ShapeDtypeStruct((hd, dim), jnp.float32),
                 jax.ShapeDtypeStruct((1, dim), jnp.float32),
                 jax.ShapeDtypeStruct((1, dim), jnp.float32),
@@ -446,8 +455,8 @@ def _mega_bwd_vjp(heads, dim_head, scale, causal, interpret, maybe_dead,
             interpret=interpret,
         )(*args)
         # dW_qkv = LN(x)^T @ dqkv — one big clean XLA matmul over the
-        # flattened batch (pad rows carry dqkv = 0, so they contribute
-        # nothing; pad rows of x LayerNorm to 0 as well)
+        # flattened batch (both arrays carry their true n rows; the
+        # kernel's partial-block writes never leak garbage into dqkv)
         gpre32 = g_pre.astype(jnp.float32)
         xn, _, _ = _ln_fp32(x_p.astype(jnp.float32), gpre32, eps)
         dwqkv = jax.lax.dot_general(
@@ -469,7 +478,7 @@ def _mega_bwd_vjp(heads, dim_head, scale, causal, interpret, maybe_dead,
                 pl.BlockSpec((1, dim), lambda i: (0, 0)),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((b, n_pad, dim), x_p.dtype),
+                jax.ShapeDtypeStruct((b, n, dim), x_p.dtype),
                 jax.ShapeDtypeStruct((dim, 3 * hd), jnp.float32),
                 jax.ShapeDtypeStruct((hd, dim), jnp.float32),
                 jax.ShapeDtypeStruct((1, dim), jnp.float32),
@@ -479,7 +488,7 @@ def _mega_bwd_vjp(heads, dim_head, scale, causal, interpret, maybe_dead,
         )(*args)
 
     dmask = np.zeros((b, n), dtype=jax.dtypes.float0)
-    return (dx[:, :n], dgpre[0].astype(g_pre.dtype),
+    return (dx, dgpre[0].astype(g_pre.dtype),
             dwqkv.astype(w_qkv.dtype), dwout.astype(w_out.dtype),
             dgout[0].astype(g_out.dtype), dmask)
 
