@@ -97,7 +97,7 @@ def _is_oom(e: Exception) -> bool:
 
 def main():
     import sys
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     # fastest-first config ladder (r2/r3 measurements, BASELINE.md):
     #   1. whole-block Pallas kernels (fused whole-head attention + FF block
     #      with stored-h backward) + bf16 weights, unrolled, no remat — the

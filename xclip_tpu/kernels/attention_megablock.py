@@ -454,15 +454,17 @@ def _mega_bwd_vjp(heads, dim_head, scale, causal, interpret, maybe_dead,
             ],
             interpret=interpret,
         )(*args)
-        # dW_qkv = LN(x)^T @ dqkv — one big clean XLA matmul over the
-        # flattened batch (both arrays carry their true n rows; the
-        # kernel's partial-block writes never leak garbage into dqkv)
+        # dW_qkv = LN(x)^T @ dqkv — one big clean XLA matmul (both arrays
+        # carry their true n rows; the kernel's partial-block writes never
+        # leak garbage into dqkv). The (b, n) pair contracts IN the dot:
+        # a reshape(-1, dim) first would be a physical relayout copy
+        # (n=257 is not sublane-aligned) costing ~10 ms/step at b256.
         gpre32 = g_pre.astype(jnp.float32)
         xn, _, _ = _ln_fp32(x_p.astype(jnp.float32), gpre32, eps)
         dwqkv = jax.lax.dot_general(
-            xn.reshape(-1, dim).astype(x_p.dtype),
-            dqkv.reshape(-1, 3 * hd),
-            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            xn.astype(x_p.dtype), dqkv,
+            (((0, 1), (0, 1)), ((), ())),
+            preferred_element_type=jnp.float32)
     else:
         dx, dwqkv, dwout, dgpre, dgout = pl.pallas_call(
             functools.partial(_bwd_kernel, scale=scale, causal=causal,

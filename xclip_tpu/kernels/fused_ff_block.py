@@ -503,6 +503,8 @@ def _ff_block_bwd(block_rows, block_cols, interpret, store_h, res, dout):
     # the dx pass keeps w_in, w_out, the fp32 h and dh tiles and ~10 smaller
     # temporaries live at once — at (256, 512→4096) that lands 32K over the
     # 16M scoped-vmem limit, so the backward runs at half the forward tile
+    # (full-tile pass 1 was tried under a 48MB scoped limit: 1841 vs 1855
+    # pairs/s — the halved tile pipelines better; keep it)
     block_rows = max(8, block_rows // 2)
     d = x.shape[-1]
     two_inner = w_in.shape[-1]
@@ -584,7 +586,13 @@ def _ff_block_bwd(block_rows, block_cols, interpret, store_h, res, dout):
     ncb = inner // block_cols
     assert inner % block_cols == 0, (inner, block_cols)
 
-    stat_vec = lambda: pl.BlockSpec((block_rows, 1), lambda j, r: (r, 0))
+    # stored path: pass 2 reads h/dprod instead of the weight matrices, so
+    # its VMEM footprint is tiny — run it at the FULL forward row tile
+    # (divides rows_pad by construction), doubling the K of the dW dots
+    block_rows2 = fwd_block_rows if store_h else block_rows
+    nb2 = rows_pad // block_rows2
+
+    stat_vec = lambda: pl.BlockSpec((block_rows2, 1), lambda j, r: (r, 0))
     dw_out_specs = [
         pl.BlockSpec((d, block_cols), lambda j, r: (0, j)),
         pl.BlockSpec((d, block_cols), lambda j, r: (0, j)),
@@ -603,18 +611,18 @@ def _ff_block_bwd(block_rows, block_cols, interpret, store_h, res, dout):
     if store_h:
         dwina, dwinb, dwout = pl.pallas_call(
             functools.partial(_bwd_dw_kernel_stored, eps_pre=eps,
-                              num_row_blocks=nb),
-            grid=(ncb, nb),
+                              num_row_blocks=nb2),
+            grid=(ncb, nb2),
             in_specs=[
-                pl.BlockSpec((block_rows, d), lambda j, r: (r, 0)),
+                pl.BlockSpec((block_rows2, d), lambda j, r: (r, 0)),
                 pl.BlockSpec((1, d), lambda j, r: (0, 0)),
                 pl.BlockSpec((1, block_cols), lambda j, r: (0, j)),
-                pl.BlockSpec((block_rows, d), lambda j, r: (r, 0)),
+                pl.BlockSpec((block_rows2, d), lambda j, r: (r, 0)),
                 # h column slices: a-half then b-half (offset by inner)
-                pl.BlockSpec((block_rows, block_cols), lambda j, r: (r, j)),
-                pl.BlockSpec((block_rows, block_cols),
+                pl.BlockSpec((block_rows2, block_cols), lambda j, r: (r, j)),
+                pl.BlockSpec((block_rows2, block_cols),
                              lambda j, r: (r, j + ncb)),
-                pl.BlockSpec((block_rows, block_cols), lambda j, r: (r, j)),
+                pl.BlockSpec((block_rows2, block_cols), lambda j, r: (r, j)),
                 stat_vec(), stat_vec(),
             ],
             out_specs=dw_out_specs,
