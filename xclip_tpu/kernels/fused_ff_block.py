@@ -36,6 +36,12 @@ another 4.19 MFLOP/row at the flagship 512→2048 shape — together ~80% of
 the ideal backward FLOPs). The (rows, 2·inner) tensor streams through the
 row grid, so the added DMA overlaps the dW dots; whether that wins is
 chip-bandwidth-dependent — both variants are benched in README Performance.
+
+Measured dead end (r3, don't retry): a per-batch-element 3D layout
+(blocks of the exact (1, n, d) shape, no flatten) removes the ~6 ms/step
+of relayout reshapes that flattening a sublane-misaligned (b, 257, d)
+array costs — but the per-element kernels run 7.5 ms/step SLOWER (M=257
+tiles, 516→1024-program grids), a net loss. The flat layout stays.
 """
 
 from __future__ import annotations
@@ -104,27 +110,43 @@ def _ff_block_fwd_call(x2, g_pre, w_in, g_inner, w_out, block_rows, interpret):
     )(x2, g_pre[None, :], w_in, g_inner[None, :], w_out)
 
 
+def _fwd_store_core(x, gpre, win, gin, wout, eps_pre, eps_in):
+    """Stored-forward math on one 2D tile: returns (out, h) in x.dtype."""
+    x32 = x.astype(jnp.float32)
+    xn32, _, _ = _ln_fp32(x32, gpre.astype(jnp.float32), eps_pre)
+    xn = xn32.astype(x.dtype)
+
+    h = jax.lax.dot_general(xn, win, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    inner = h.shape[-1] // 2
+    a, b = h[:, :inner], h[:, inner:]
+    prod = a * _gelu_exact(b)
+    y32, _, _ = _ln_fp32(prod, gin.astype(jnp.float32), eps_in)
+    y = y32.astype(x.dtype)
+
+    out = jax.lax.dot_general(y, wout, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    return out.astype(x.dtype) + x, h.astype(x.dtype)
+
+
 def _fwd_kernel_store(x_ref, gpre_ref, win_ref, gin_ref, wout_ref,
                       o_ref, h_ref, *, eps_pre, eps_in):
     """Forward that also emits h = LN(x)@w_in (storage dtype) for a
     recompute-free backward."""
-    x = x_ref[...]
-    x32 = x.astype(jnp.float32)
-    xn32, _, _ = _ln_fp32(x32, gpre_ref[...].astype(jnp.float32), eps_pre)
-    xn = xn32.astype(x.dtype)
+    out, h = _fwd_store_core(x_ref[...], gpre_ref[...], win_ref[...],
+                             gin_ref[...], wout_ref[...], eps_pre, eps_in)
+    o_ref[...] = out
+    h_ref[...] = h
 
-    h = jax.lax.dot_general(xn, win_ref[...], (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    h_ref[...] = h.astype(x.dtype)
-    inner = h.shape[-1] // 2
-    a, b = h[:, :inner], h[:, inner:]
-    prod = a * _gelu_exact(b)
-    y32, _, _ = _ln_fp32(prod, gin_ref[...].astype(jnp.float32), eps_in)
-    y = y32.astype(x.dtype)
 
-    out = jax.lax.dot_general(y, wout_ref[...], (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    o_ref[...] = out.astype(x.dtype) + x
+def _fwd_kernel_store_3d(x_ref, gpre_ref, win_ref, gin_ref, wout_ref,
+                         o_ref, h_ref, *, eps_pre, eps_in):
+    """Per-batch-element stored forward: block (1, n, d) — the exact array
+    shape, so no flatten/pad relayout ever happens (see _use_3d)."""
+    out, h = _fwd_store_core(x_ref[0], gpre_ref[...], win_ref[...],
+                             gin_ref[...], wout_ref[...], eps_pre, eps_in)
+    o_ref[0] = out
+    h_ref[0] = h
 
 
 def _ff_block_fwd_store_call(x2, g_pre, w_in, g_inner, w_out, block_rows,
@@ -232,6 +254,52 @@ def _bwd_dx_kernel(x_ref, gpre_ref, win_ref, gin_ref, wout_ref, do_ref,
         dgin_ref[...] = dgin_scr[...]
 
 
+def _p1_stored_core(x, do, gpre, gin, win, wout, h_raw, eps_pre, eps_in):
+    """Stored pass-1 math on one 2D tile. Returns
+    (dx, mean, inv, m1, m2, dprod_cast, dgpre_tile, dgin_tile)."""
+    do32 = do.astype(jnp.float32)
+    gpre32 = gpre.astype(jnp.float32)
+    gin32 = gin.astype(jnp.float32)
+
+    x32 = x.astype(jnp.float32)
+    _, xhat_pre, inv_pre = _ln_fp32(x32, gpre32, eps_pre)
+
+    h = h_raw.astype(jnp.float32)
+    inner = h.shape[-1] // 2
+    a, b = h[:, :inner], h[:, inner:]
+    gelu_b = _gelu_exact(b)
+    prod = a * gelu_b
+    mean_in = jnp.mean(prod, axis=-1, keepdims=True)
+    c = prod - mean_in
+    var_in = jnp.mean(c * c, axis=-1, keepdims=True)
+    inv_in = jax.lax.rsqrt(var_in + eps_in)
+    xhat_in = c * inv_in
+
+    dy = jax.lax.dot_general(do, wout, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dgin_tile = jnp.sum(dy * xhat_in, axis=0, keepdims=True)
+
+    dyg = dy * gin32
+    m1 = jnp.mean(dyg, axis=-1, keepdims=True)
+    m2 = jnp.mean(dyg * xhat_in, axis=-1, keepdims=True)
+    dprod = inv_in * (dyg - m1 - xhat_in * m2)
+
+    da = dprod * gelu_b
+    db = dprod * a * _gelu_grad(b)
+    dh = jnp.concatenate([da, db], axis=-1).astype(x.dtype)
+    dxn = jax.lax.dot_general(dh, win, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+
+    dgpre_tile = jnp.sum(dxn * xhat_pre, axis=0, keepdims=True)
+
+    dyg2 = dxn * gpre32
+    p1 = jnp.mean(dyg2, axis=-1, keepdims=True)
+    p2 = jnp.mean(dyg2 * xhat_pre, axis=-1, keepdims=True)
+    dx = inv_pre * (dyg2 - p1 - xhat_pre * p2) + do32
+    return (dx.astype(x.dtype), mean_in, inv_in, m1, m2,
+            dprod.astype(x.dtype), dgpre_tile, dgin_tile)
+
+
 def _bwd_dx_kernel_stored(x_ref, gpre_ref, win_ref, gin_ref, wout_ref,
                           do_ref, h_ref,
                           dx_ref, mean_ref, inv_ref, m1_ref, m2_ref,
@@ -249,55 +317,17 @@ def _bwd_dx_kernel_stored(x_ref, gpre_ref, win_ref, gin_ref, wout_ref,
         dgpre_scr[...] = jnp.zeros_like(dgpre_scr)
         dgin_scr[...] = jnp.zeros_like(dgin_scr)
 
-    x = x_ref[...]
-    do = do_ref[...]
-    do32 = do.astype(jnp.float32)
-    gpre32 = gpre_ref[...].astype(jnp.float32)
-    gin32 = gin_ref[...].astype(jnp.float32)
-
-    x32 = x.astype(jnp.float32)
-    _, xhat_pre, inv_pre = _ln_fp32(x32, gpre32, eps_pre)
-
-    h = h_ref[...].astype(jnp.float32)
-    inner = h.shape[-1] // 2
-    a, b = h[:, :inner], h[:, inner:]
-    gelu_b = _gelu_exact(b)
-    prod = a * gelu_b
-    mean_in = jnp.mean(prod, axis=-1, keepdims=True)
-    c = prod - mean_in
-    var_in = jnp.mean(c * c, axis=-1, keepdims=True)
-    inv_in = jax.lax.rsqrt(var_in + eps_in)
-    xhat_in = c * inv_in
-
-    dy = jax.lax.dot_general(do, wout_ref[...],
-                             (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    dgin_scr[...] += jnp.sum(dy * xhat_in, axis=0, keepdims=True)
-
-    dyg = dy * gin32
-    m1 = jnp.mean(dyg, axis=-1, keepdims=True)
-    m2 = jnp.mean(dyg * xhat_in, axis=-1, keepdims=True)
-    dprod = inv_in * (dyg - m1 - xhat_in * m2)
-
+    (dx, mean_in, inv_in, m1, m2, dprod, dgpre_t, dgin_t) = _p1_stored_core(
+        x_ref[...], do_ref[...], gpre_ref[...], gin_ref[...], win_ref[...],
+        wout_ref[...], h_ref[...], eps_pre, eps_in)
+    dx_ref[...] = dx
     mean_ref[...] = mean_in
     inv_ref[...] = inv_in
     m1_ref[...] = m1
     m2_ref[...] = m2
-    dprod_ref[...] = dprod.astype(dprod_ref.dtype)
-
-    da = dprod * gelu_b
-    db = dprod * a * _gelu_grad(b)
-    dh = jnp.concatenate([da, db], axis=-1).astype(x.dtype)
-    dxn = jax.lax.dot_general(dh, win_ref[...], (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-
-    dgpre_scr[...] += jnp.sum(dxn * xhat_pre, axis=0, keepdims=True)
-
-    dyg2 = dxn * gpre32
-    p1 = jnp.mean(dyg2, axis=-1, keepdims=True)
-    p2 = jnp.mean(dyg2 * xhat_pre, axis=-1, keepdims=True)
-    dx = inv_pre * (dyg2 - p1 - xhat_pre * p2) + do32
-    dx_ref[...] = dx.astype(dx_ref.dtype)
+    dprod_ref[...] = dprod
+    dgpre_scr[...] += dgpre_t
+    dgin_scr[...] += dgin_t
 
     @pl.when(i == num_blocks - 1)
     def _emit():
@@ -365,6 +395,38 @@ def _bwd_dw_kernel(x_ref, gpre_ref, wina_ref, winb_ref, gin_ref, wout_ref,
         dwout_ref[...] = dwout_scr[...].astype(dwout_ref.dtype)
 
 
+def _p2_stored_core(x, do, gpre, gin_slice, ha, hb, dprod_raw,
+                    mean_in, inv_in, eps_pre):
+    """Stored pass-2 math on one (rows × column-slice) tile: returns the
+    (dwina, dwinb, dwout) contributions of this row block."""
+    gpre32 = gpre.astype(jnp.float32)
+    gin32 = gin_slice.astype(jnp.float32)
+
+    x32 = x.astype(jnp.float32)
+    xn32, _, _ = _ln_fp32(x32, gpre32, eps_pre)
+    xn = xn32.astype(x.dtype)
+
+    a = ha.astype(jnp.float32)
+    b = hb.astype(jnp.float32)
+    gelu_b = _gelu_exact(b)
+    prod = a * gelu_b
+    xhat = (prod - mean_in) * inv_in
+
+    dprod = dprod_raw.astype(jnp.float32)
+
+    da = (dprod * gelu_b).astype(x.dtype)
+    db = (dprod * a * _gelu_grad(b)).astype(x.dtype)
+    y = (xhat * gin32).astype(x.dtype)
+
+    dwina = jax.lax.dot_general(
+        xn, da, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dwinb = jax.lax.dot_general(
+        xn, db, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dwout = jax.lax.dot_general(
+        y, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    return dwina, dwinb, dwout
+
+
 def _bwd_dw_kernel_stored(x_ref, gpre_ref, gin_ref, do_ref,
                           ha_ref, hb_ref, dprod_ref,
                           mean_ref, inv_ref,
@@ -384,35 +446,13 @@ def _bwd_dw_kernel_stored(x_ref, gpre_ref, gin_ref, do_ref,
         dwinb_scr[...] = jnp.zeros_like(dwinb_scr)
         dwout_scr[...] = jnp.zeros_like(dwout_scr)
 
-    x = x_ref[...]
-    do = do_ref[...]
-    gpre32 = gpre_ref[...].astype(jnp.float32)
-    gin32 = gin_ref[...].astype(jnp.float32)
-    mean_in = mean_ref[...]
-    inv_in = inv_ref[...]
-
-    x32 = x.astype(jnp.float32)
-    xn32, _, _ = _ln_fp32(x32, gpre32, eps_pre)
-    xn = xn32.astype(x.dtype)
-
-    a = ha_ref[...].astype(jnp.float32)
-    b = hb_ref[...].astype(jnp.float32)
-    gelu_b = _gelu_exact(b)
-    prod = a * gelu_b
-    xhat = (prod - mean_in) * inv_in
-
-    dprod = dprod_ref[...].astype(jnp.float32)
-
-    da = (dprod * gelu_b).astype(x.dtype)
-    db = (dprod * a * _gelu_grad(b)).astype(x.dtype)
-    y = (xhat * gin32).astype(x.dtype)
-
-    dwina_scr[...] += jax.lax.dot_general(
-        xn, da, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    dwinb_scr[...] += jax.lax.dot_general(
-        xn, db, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    dwout_scr[...] += jax.lax.dot_general(
-        y, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dwina, dwinb, dwout = _p2_stored_core(
+        x_ref[...], do_ref[...], gpre_ref[...], gin_ref[...],
+        ha_ref[...], hb_ref[...], dprod_ref[...],
+        mean_ref[...], inv_ref[...], eps_pre)
+    dwina_scr[...] += dwina
+    dwinb_scr[...] += dwinb
+    dwout_scr[...] += dwout
 
     @pl.when(r == num_row_blocks - 1)
     def _emit():
