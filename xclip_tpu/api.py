@@ -10,7 +10,10 @@ JAX-specific additions (keyword-only, all optional):
     fp32 statistics kept in registers (see docs/DESIGN.md)
   * `attn_impl`    — 'xla' (default); 'fused' = whole-attention-block
     Pallas kernels (megablock/head-group, the short-seq winners — see
-    README Performance); 'flash' = k-blocked flash (long seq, ≳2k)
+    README Performance); 'fused_recompute' = megablock with the
+    recompute backward (no stored-qkv residual — the memory-lean choice
+    for large local batches, docs/SCALING.md); 'flash' = k-blocked flash
+    (long seq, ≳2k)
   * `loss_impl`    — 'xla' (default) or 'fused' (Pallas streaming-LSE)
   * `ff_impl`      — 'xla' (default); 'block' = whole-FF-block Pallas
     kernel (LN+GEGLU+LN+matmuls+residual, tile-wise recompute backward);

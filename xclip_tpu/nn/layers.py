@@ -151,6 +151,10 @@ def attention_apply(params, x, *, heads: int, dim_head: int,
                     remat_wide: bool = False):
     b, n, _ = x.shape
     scale = dim_head ** -0.5
+    if attn_impl == "fused_recompute":
+        # the store/recompute distinction only exists for the megablock
+        # (transformer_apply); here it means the whole-head fused kernel
+        attn_impl = "fused"
 
     x = layer_norm_apply(params["norm"], x)
     qkv = x @ params["to_qkv"]["w"]
@@ -307,15 +311,19 @@ def transformer_apply(params, x, *, heads: int, dim_head: int,
                   and remat_policy == "wide")
 
     use_mega = mega_store = False
-    if attn_impl == "fused" and rotary is None and not (
+    if attn_impl in ("fused", "fused_recompute") and rotary is None and not (
             training and attn_dropout > 0.0 and rng is not None):
         from ..kernels.attention_megablock import supported as _mega_ok
         n_pad = ((x.shape[1] + 127) // 128) * 128
-        # prefer the stored-qkv backward (skips the LN+qkv recompute per
-        # batch element; the freed dW_qkv accumulator pays for the extra
-        # buffers) and fall back to the recompute variant if VMEM is tight
-        mega_store = _mega_ok(heads, dim_head, x.shape[-1], n_pad, x.dtype,
-                              store_qkv=True)
+        # 'fused' prefers the stored-qkv backward (skips the LN+qkv
+        # recompute per batch element; the freed dW_qkv accumulator pays
+        # for the extra buffers) and falls back to the recompute variant if
+        # VMEM is tight. 'fused_recompute' forces the recompute backward —
+        # the stored qkv residual costs O(b·n·3·hd) HBM per layer, which a
+        # memory-bound large-batch run cannot afford (docs/SCALING.md).
+        mega_store = (attn_impl == "fused"
+                      and _mega_ok(heads, dim_head, x.shape[-1], n_pad,
+                                   x.dtype, store_qkv=True))
         use_mega = mega_store or _mega_ok(heads, dim_head, x.shape[-1],
                                           n_pad, x.dtype)
 
