@@ -13,7 +13,14 @@ shards the batch over the mesh's 'data' axis and the params per the TP
 rules. Swap `SyntheticPatterns` for your own dataset (e.g.
 `xclip_tpu.data.ImageFolderDataset`) for real training.
 
-Usage:  python examples/train.py [steps] [metrics.jsonl]
+Usage:  python examples/train.py [steps] [metrics.jsonl] [--aux|--filip]
+
+`--aux` adds the DeCLIP-style auxiliary objectives (MLM text SSL + SimCLR
+visual SSL) to the training loss — docs/RUN.md records a run showing the
+aux losses decreasing alongside the contrastive loss. `--filip` trains
+with fine-grained token-level contrast (`use_all_token_embeds=True`);
+its per-token latents have no pooled zero-shot path, so that run is
+judged by its loss curve.
 """
 
 import os
@@ -34,8 +41,12 @@ from xclip_tpu.train import (MetricsLogger, create_train_state,
                              default_optimizer, make_train_step,
                              save_checkpoint, shard_state)
 
-STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 200
-METRICS_PATH = sys.argv[2] if len(sys.argv) > 2 else "/tmp/xclip-example-metrics.jsonl"
+FLAGS = [a for a in sys.argv[1:] if a.startswith("--")]
+ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
+USE_AUX = "--aux" in FLAGS
+USE_FILIP = "--filip" in FLAGS
+STEPS = int(ARGS[0]) if ARGS else 200
+METRICS_PATH = ARGS[1] if len(ARGS) > 1 else "/tmp/xclip-example-metrics.jsonl"
 BATCH = 64
 IMAGE_SIZE = 64
 SEQ = 32
@@ -92,7 +103,16 @@ def eval_zero_shot(clip, params, tok, seed=123, n_eval=256):
 
 
 def main():
-    clip = CLIP(
+    extra = {}
+    if USE_AUX:
+        # DeCLIP-style auxiliary self-supervision over the SHARED towers
+        # (x_clip.py:518-552): MLM on the text side, SimCLR on the vision
+        # side, folded into the total loss at their default weights
+        extra = dict(use_mlm=True, use_visual_ssl=True,
+                     visual_ssl_type="simclr", visual_ssl_hidden_layer=-1)
+    if USE_FILIP:
+        extra = dict(use_all_token_embeds=True, visual_patch_dropout=0.0)
+    kwargs = dict(
         dim_text=128, dim_image=128, dim_latent=128,
         num_text_tokens=49408,              # real BPE vocab
         text_enc_depth=2, text_seq_len=SEQ, text_heads=4,
@@ -100,14 +120,21 @@ def main():
         visual_patch_size=16, visual_patch_dropout=0.5,
         compute_dtype="bfloat16" if jax.default_backend() == "tpu" else None,
         scan_layers=False)
+    kwargs.update(extra)
+    clip = CLIP(**kwargs)
     tok = SimpleTokenizer()
 
     n_dev = len(jax.devices())
     mesh = create_mesh((n_dev, 1)) if n_dev > 1 else None
 
-    acc0 = eval_zero_shot(clip, clip.params, tok)
-    print(f"zero-shot top-1 at init: {acc0['top1']:.3f} (chance = "
-          f"{1 / len(CLASSES):.3f})")
+    if USE_FILIP:
+        acc0 = None
+        print("FILIP run: per-token latents have no pooled zero-shot path; "
+              "judged by the contrastive loss curve")
+    else:
+        acc0 = eval_zero_shot(clip, clip.params, tok)
+        print(f"zero-shot top-1 at init: {acc0['top1']:.3f} (chance = "
+              f"{1 / len(CLASSES):.3f})")
 
     optimizer = default_optimizer(learning_rate=3e-4, warmup_steps=20,
                                   total_steps=STEPS)
@@ -120,6 +147,7 @@ def main():
                              mesh=mesh, num_workers=2, shuffle_seed=0,
                              num_epochs=None)
     rng = jax.random.PRNGKey(1)
+    first_metrics = None
     with MetricsLogger(METRICS_PATH, flush_every=5) as logger:
         for i, batch in enumerate(loader):
             if i >= STEPS:
@@ -127,12 +155,24 @@ def main():
             rng, sub = jax.random.split(rng)
             state, metrics = step(state, batch["text"], batch["image"], sub)
             logger.log(i, metrics, batch_size=BATCH)
+            if first_metrics is None:
+                first_metrics = {k: float(v) for k, v in metrics.items()}
 
-    acc1 = eval_zero_shot(clip, state.params, tok)
-    print(f"zero-shot top-1 after {STEPS} steps: {acc1['top1']:.3f}")
+    last = {k: float(v) for k, v in metrics.items()}
+    if USE_AUX:
+        for k in ("cl_loss", "text_ssl_loss", "image_ssl_loss"):
+            print(f"{k}: {first_metrics[k]:.4f} -> {last[k]:.4f}")
+    if USE_FILIP:
+        print(f"cl_loss: {first_metrics['cl_loss']:.4f} -> "
+              f"{last['cl_loss']:.4f}")
+        assert last["cl_loss"] < first_metrics["cl_loss"], \
+            "FILIP training did not reduce the contrastive loss"
+    else:
+        acc1 = eval_zero_shot(clip, state.params, tok)
+        print(f"zero-shot top-1 after {STEPS} steps: {acc1['top1']:.3f}")
+        assert acc1["top1"] > acc0["top1"], "training did not improve zero-shot"
     save_checkpoint("/tmp/xclip-example-ckpt", state)
     print("checkpoint saved to /tmp/xclip-example-ckpt")
-    assert acc1["top1"] > acc0["top1"], "training did not improve zero-shot"
 
 
 if __name__ == "__main__":

@@ -13,9 +13,21 @@ Re-expresses the reference's on-device torchvision pipeline
 Parity notes: torchvision applied to a BATCH tensor samples ONE set of
 augmentation parameters per batch (and `RandomApply` flips one Python coin
 per batch) — we reproduce that per-batch-sample behavior with traced
-decisions via `jnp.where`, which keeps shapes static under jit. The bar here
-is statistical equivalence of the SSL loss, not bit parity (the reference's
-randomness is torch-global and irreproducible anyway).
+decisions via `jnp.where`, which keeps shapes static under jit. The bar is
+statistical equivalence (the reference's randomness is torch-global and
+irreproducible anyway), enforced op-exactly + distributionally by
+`tests/test_augment_stats.py` against a NumPy oracle of torchvision's
+documented formulas: `_blend` clamps to [0, 1] for float images, grayscale
+luma is (0.2989, 0.587, 0.114), ColorJitter applies its four ops in a
+random permutation, and GaussianBlur reflect-pads.
+
+Known deliberate divergence (static shapes under jit): torchvision's
+RandomResizedCrop retries up to 10 integer-box proposals and center-crops
+on failure; this implementation samples ONE fractional box from the same
+(scale, log-ratio) distributions and clips it into the image. Boxes that
+torchvision would reject (aspect extremes at near-full scale) are clipped
+instead of resampled — a boundary-case reshaping of the crop distribution,
+bounded by the full-pipeline moment bands in the stats tests.
 
 Images are NCHW floats, matching the tower input layout.
 """
@@ -30,17 +42,21 @@ IMAGENET_STD = (0.229, 0.224, 0.225)
 
 
 def _rgb_to_grayscale(x):
-    # itu-r 601-2 luma (torchvision's rgb_to_grayscale)
-    w = jnp.array([0.299, 0.587, 0.114], dtype=x.dtype)
+    # itu-r 601-2 luma, torchvision's exact weights
+    # (torchvision _functional_tensor.rgb_to_grayscale: 0.2989/0.587/0.114)
+    w = jnp.array([0.2989, 0.587, 0.114], dtype=x.dtype)
     return jnp.einsum("bchw,c->bhw", x, w)[:, None, :, :]
 
 
 def _blend(a, b, factor):
-    return a * factor + b * (1.0 - factor)
+    # torchvision _functional_tensor._blend: clamps to the dtype bound,
+    # which is 1.0 for float images — part of the op's semantics, not a
+    # safety net (verified by tests/test_augment_stats.py)
+    return jnp.clip(a * factor + b * (1.0 - factor), 0.0, 1.0)
 
 
 def adjust_brightness(x, factor):
-    return x * factor
+    return _blend(x, jnp.zeros_like(x), factor)
 
 
 def adjust_contrast(x, factor):
@@ -89,20 +105,29 @@ def adjust_hue(x, delta):
 
 
 def color_jitter(rng, x, brightness=0.8, contrast=0.8, saturation=0.8, hue=0.2):
-    kb, kc, ks, kh = jax.random.split(rng, 4)
+    """torchvision ColorJitter semantics: each factor ~ U around 1 (hue ~
+    U(-h, h)), and the four ops are applied in a RANDOM PERMUTATION
+    (ColorJitter.forward: fn_idx = randperm(4)) — a fixed order biases the
+    output distribution (e.g. hue-after-contrast ≠ contrast-after-hue)."""
+    kb, kc, ks, kh, kp = jax.random.split(rng, 5)
     fb = jax.random.uniform(kb, (), minval=max(0.0, 1 - brightness), maxval=1 + brightness)
     fc = jax.random.uniform(kc, (), minval=max(0.0, 1 - contrast), maxval=1 + contrast)
     fs = jax.random.uniform(ks, (), minval=max(0.0, 1 - saturation), maxval=1 + saturation)
     fh = jax.random.uniform(kh, (), minval=-hue, maxval=hue)
-    x = adjust_brightness(x, fb)
-    x = adjust_contrast(x, fc)
-    x = adjust_saturation(x, fs)
-    x = adjust_hue(x, fh)
+    perm = jax.random.permutation(kp, 4)
+    ops = [lambda im: adjust_brightness(im, fb),
+           lambda im: adjust_contrast(im, fc),
+           lambda im: adjust_saturation(im, fs),
+           lambda im: adjust_hue(im, fh)]
+    for j in range(4):
+        x = jax.lax.switch(perm[j], ops, x)
     return x
 
 
 def gaussian_blur3(rng, x):
-    """3×3 gaussian blur with sigma ~ U(1, 2), depthwise."""
+    """3×3 gaussian blur with sigma ~ U(1, 2), depthwise. torchvision
+    gaussian_blur pads REFLECT (not zero) before the valid conv — zero
+    padding darkens the 1-pixel border, a visible statistical bias."""
     sigma = jax.random.uniform(rng, (), minval=1.0, maxval=2.0)
     r = jnp.array([-1.0, 0.0, 1.0])
     k1 = jnp.exp(-(r ** 2) / (2 * sigma ** 2))
@@ -110,8 +135,9 @@ def gaussian_blur3(rng, x):
     k2 = jnp.outer(k1, k1).astype(x.dtype)
     c = x.shape[1]
     kernel = jnp.broadcast_to(k2, (c, 1, 3, 3))
+    x_pad = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1)), mode="reflect")
     return jax.lax.conv_general_dilated(
-        x, kernel, window_strides=(1, 1), padding="SAME",
+        x_pad, kernel, window_strides=(1, 1), padding="VALID",
         feature_group_count=c,
         dimension_numbers=("NCHW", "OIHW", "NCHW"))
 
