@@ -15,6 +15,18 @@ import jax.numpy as jnp
 NEG_INF = float(-jnp.inf)
 
 
+def scoped_vmem_limit_bytes() -> int:
+    """The Mosaic scoped-VMEM limit in force: 16MB default, overridable via
+    LIBTPU_INIT_ARGS --xla_tpu_scoped_vmem_limit_kib (bench.py sets 24576 —
+    the v5e has 128MB of VMEM and the default leaves most of it idle).
+    Kernel `supported()` gates read this so their budgets track reality."""
+    import os
+    import re
+    m = re.search(r"scoped_vmem_limit_kib=(\d+)",
+                  os.environ.get("LIBTPU_INIT_ARGS", ""))
+    return int(m.group(1)) * 1024 if m else 16 * 1024 * 1024
+
+
 def round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 

@@ -33,7 +33,8 @@ from jax.experimental import pallas as pl
 
 from ._common import (NEG_INF as _NEG_INF, eps_for as _eps_for,
                       ln_bwd as _ln_bwd, ln_fp32 as _ln_fp32,
-                      round_up as _round_up)
+                      round_up as _round_up,
+                      scoped_vmem_limit_bytes as _vmem_limit)
 
 
 def supported(heads: int, dim_head: int, dim: int, n_pad: int,
@@ -47,7 +48,11 @@ def supported(heads: int, dim_head: int, dim: int, n_pad: int,
 
     `store_qkv=True` (the stored-backward variant): the dW_qkv accumulator
     leaves VMEM (computed outside from the emitted dqkv) but qkv becomes a
-    double-buffered input and dqkv a double-buffered output."""
+    double-buffered input and dqkv a double-buffered output, and the
+    forward-stored attnout/proj tiles two more inputs.
+
+    The budget tracks the ACTIVE Mosaic scoped-VMEM limit (16MB default;
+    bench.py raises it to 24MB via LIBTPU_INIT_ARGS — _common.py)."""
     itemsize = 2 if dtype == jnp.bfloat16 else 4
     inner = heads * dim_head
     weights = (dim * 3 * inner + inner * dim) * itemsize
@@ -58,8 +63,14 @@ def supported(heads: int, dim_head: int, dim: int, n_pad: int,
     if store_qkv:
         dw = inner * dim * 4                        # only dW_out stays
         qkv_tiles *= 2                              # both double-buffered
-    total = weights + dw + row_tiles + qkv_tiles + f32_tmp
-    return total < 15.75 * 1024 * 1024
+        qkv_tiles += 4 * n_pad * dim * itemsize     # attnout + proj inputs
+    # partial-block DMA bookkeeping measured ~0.4MB beyond the tile
+    # arithmetic (the stored bwd compiled at 16.16M when this estimated
+    # 15.75M) — keep a constant margin so a default-16MB environment gates
+    # conservatively instead of failing at compile time
+    bookkeeping = 512 * 1024
+    total = weights + dw + row_tiles + qkv_tiles + f32_tmp + bookkeeping
+    return total < 0.984 * _vmem_limit()
 
 
 def _masked_scores(q, k, mask_row, scale, causal):
@@ -97,7 +108,7 @@ def _dead_rows(mask_row, causal, n_rows, n_real):
 
 
 def _fwd_common(x, gpre32, wqkv, mask_row, scale, causal, heads, dim_head,
-                n_rows, eps, n_real, maybe_dead, qkv=None):
+                n_rows, eps, n_real, maybe_dead, qkv=None, need_o=True):
     """Shared fwd recompute: returns (xhat_pre, inv_pre, xn, qkv,
     per-head (q, k, v, p, o) list, attnout, dead, row_valid). When `qkv` is
     given (forward-stored variant), the LN stats are still derived from x
@@ -143,10 +154,12 @@ def _fwd_common(x, gpre32, wqkv, mask_row, scale, causal, heads, dim_head,
             p = jnp.exp(s - m)
         l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
         p = p / l
-        o = _dot(p.astype(v.dtype), v)            # fp32 (n_rows, d)
+        # need_o=False: caller reads the forward-stored attnout, so the
+        # p@v dots are skipped entirely
+        o = _dot(p.astype(v.dtype), v) if need_o else None
         po.append((q, k, v, p, o))
-    attnout = jnp.concatenate([o for (_, _, _, _, o) in po],
-                              axis=-1).astype(x.dtype)
+    attnout = (jnp.concatenate([o for (_, _, _, _, o) in po],
+                               axis=-1).astype(x.dtype) if need_o else None)
     return xhat_pre, inv_pre, xn, qkv, po, attnout, dead, row_valid
 
 
@@ -167,10 +180,13 @@ def _fwd_kernel(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref, mask_ref,
 
 
 def _fwd_kernel_stored(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref,
-                       mask_ref, o_ref, qkv_ref, *, scale, causal, heads,
+                       mask_ref, o_ref, qkv_ref, attnout_ref, proj_ref,
+                       *, scale, causal, heads,
                        dim_head, n_rows, eps, n_real, maybe_dead):
-    """Forward that also emits the fused qkv tensor (storage dtype) so the
-    backward can skip the LN + xn@w_qkv recompute."""
+    """Forward that also emits the fused qkv tensor, the concatenated
+    attention output, and the pre-LN projection (all storage dtype) so the
+    backward skips the LN + xn@w_qkv, per-head p@v, and attnout@w_out
+    recomputes."""
     x = x_ref[0]
     gpre32 = gpre_ref[...].astype(jnp.float32)
     gout32 = gout_ref[...].astype(jnp.float32)
@@ -179,19 +195,22 @@ def _fwd_kernel_stored(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref,
         x, gpre32, wqkv_ref[...], mask_ref[0], scale, causal, heads,
         dim_head, n_rows, eps, n_real, maybe_dead)
     qkv_ref[0, :n_rows] = qkv
+    attnout_ref[0, :n_rows] = attnout
 
     proj = _dot(attnout, wout_ref[...])           # fp32 (n_rows, dim)
+    proj_ref[0, :n_rows] = proj.astype(x.dtype)
     y32, _, _ = _ln_fp32(proj, gout32, eps)
     o_ref[0, :n_rows] = y32.astype(o_ref.dtype) + x[:n_rows]
 
 
 def _bwd_kernel_stored(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref,
-                       mask_ref, do_ref, qkv_ref,
+                       mask_ref, do_ref, qkv_ref, attnout_ref, proj_ref,
                        dx_ref, dqkv_ref, dwout_ref, dgpre_ref, dgout_ref,
                        *, scale, causal, heads, dim_head, n_rows, eps,
                        n_real, maybe_dead):
-    """Backward with the forward-stored qkv: identical math to _bwd_kernel
-    but the attention inputs are read, and dW_qkv is NOT accumulated here —
+    """Backward with the forward-stored qkv/attnout/proj: identical math to
+    _bwd_kernel but the attention inputs, per-head outputs, and projection
+    are read instead of recomputed, and dW_qkv is NOT accumulated here —
     dqkv is emitted per batch element and the caller computes
     dW_qkv = LN(x)^T @ dqkv as one large XLA matmul (freeing the 3MB fp32
     accumulator that made the two variants mutually exclusive in VMEM)."""
@@ -208,13 +227,14 @@ def _bwd_kernel_stored(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref,
     gout32 = gout_ref[...].astype(jnp.float32)
     hd = heads * dim_head
 
-    xhat_pre, inv_pre, _, _, po, attnout, dead, row_valid = _fwd_common(
+    xhat_pre, inv_pre, _, _, po, _, dead, row_valid = _fwd_common(
         x, gpre32, wqkv_ref[...], mask_ref[0], scale, causal, heads,
         dim_head, n_rows, eps, n_real, maybe_dead,
-        qkv=qkv_ref[0][:n_rows])
-    # garbage do rows would poison every row-contracted accumulation
+        qkv=qkv_ref[0][:n_rows], need_o=False)
+    # garbage rows would poison every row-contracted accumulation
+    attnout = jnp.where(row_valid, attnout_ref[0][:n_rows], 0)
     do = jnp.where(row_valid, do_ref[0][:n_rows].astype(jnp.float32), 0.0)
-    proj = _dot(attnout, wout_ref[...])
+    proj = jnp.where(row_valid, proj_ref[0][:n_rows], 0).astype(jnp.float32)
     mean_o = jnp.mean(proj, axis=-1, keepdims=True)
     c_o = proj - mean_o
     var_o = jnp.mean(c_o * c_o, axis=-1, keepdims=True)
@@ -229,7 +249,8 @@ def _bwd_kernel_stored(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref,
 
     dqkv_parts_q, dqkv_parts_k, dqkv_parts_v = [], [], []
     for h in range(heads):
-        q, k, v, p, o = po[h]
+        q, k, v, p, _ = po[h]
+        o = attnout[:, h * dim_head:(h + 1) * dim_head].astype(jnp.float32)
         do_h = dattn[:, h * dim_head:(h + 1) * dim_head].astype(jnp.float32)
         delta = jnp.sum(do_h * o, axis=-1, keepdims=True)
         dp = _dot(do_h.astype(v.dtype), v, tb=True)
@@ -370,9 +391,13 @@ def _mega_fwd(x, g_pre, w_qkv, w_out, g_out, mask,
     out_shape = jax.ShapeDtypeStruct((b, n, dim), x.dtype)
     if store_qkv:
         out_specs = [out_specs,
-                     pl.BlockSpec((1, n_pad, 3 * hd), lambda i: (i, 0, 0))]
+                     pl.BlockSpec((1, n_pad, 3 * hd), lambda i: (i, 0, 0)),
+                     pl.BlockSpec((1, n_pad, hd), lambda i: (i, 0, 0)),
+                     pl.BlockSpec((1, n_pad, dim), lambda i: (i, 0, 0))]
         out_shape = [out_shape,
-                     jax.ShapeDtypeStruct((b, n, 3 * hd), x.dtype)]
+                     jax.ShapeDtypeStruct((b, n, 3 * hd), x.dtype),
+                     jax.ShapeDtypeStruct((b, n, hd), x.dtype),
+                     jax.ShapeDtypeStruct((b, n, dim), x.dtype)]
     res = pl.pallas_call(
         functools.partial(kernel, scale=scale, causal=causal,
                           heads=heads, dim_head=dim_head, n_rows=n_rows,
@@ -391,8 +416,8 @@ def _mega_fwd(x, g_pre, w_qkv, w_out, g_out, mask,
         interpret=interp,
     )(x_p, g_pre[None, :], w_qkv, w_out, g_out[None, :], key_valid)
     if store_qkv:
-        out, qkv = res
-        return out, (x_p, key_valid, qkv)
+        out, qkv, attnout, proj = res
+        return out, (x_p, key_valid, (qkv, attnout, proj))
     return res, (x_p, key_valid, None)
 
 
@@ -430,8 +455,13 @@ def _mega_bwd_vjp(heads, dim_head, scale, causal, interpret, maybe_dead,
     args = [x_p, g_pre[None, :], w_qkv, w_out, g_out[None, :], key_valid,
             do_p]
     if store_qkv:
-        in_specs.append(pl.BlockSpec((1, n_pad, 3 * hd), lambda i: (i, 0, 0)))
-        args.append(qkv)
+        qkv, attnout, proj = qkv
+        in_specs += [
+            pl.BlockSpec((1, n_pad, 3 * hd), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, n_pad, hd), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, n_pad, dim), lambda i: (i, 0, 0)),
+        ]
+        args += [qkv, attnout, proj]
         dx, dqkv, dwout, dgpre, dgout = pl.pallas_call(
             functools.partial(_bwd_kernel_stored, scale=scale, causal=causal,
                               heads=heads, dim_head=dim_head, n_rows=n_rows,
