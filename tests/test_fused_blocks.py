@@ -138,6 +138,7 @@ def _mock_batch():
     dict(ff_impl="block"),
     dict(ff_impl="block_stored"),
     dict(attn_impl="fused", ff_impl="block_stored"),
+    dict(attn_impl="fused_recompute", ff_impl="block"),
     dict(checkpoint_during_training=True, remat_policy="wide"),
     dict(attn_impl="fused", text_rotary_pos_emb=True),
     dict(attn_impl="fused", text_causal_mask=True, text_eos_id=99),
