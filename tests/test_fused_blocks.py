@@ -251,3 +251,34 @@ def test_fully_masked_row_matches_xla_semantics():
     ggr = jax.grad(lambda q: (_attn_ref(q, mask, 8, 16, scale,
                                         False) ** 2).sum())(qkv)
     np.testing.assert_allclose(np.asarray(gg), np.asarray(ggr), atol=1e-3)
+
+
+def test_sequence_alignment_pad_is_invisible():
+    """transformer_apply sublane-aligns sequences ≥128 for the Pallas
+    stack (257→272-style pad, layers.py align_seq); the padded rows must
+    be numerically invisible: same output and grads as the XLA path."""
+    from xclip_tpu.nn.layers import transformer_init, transformer_apply
+
+    dim, heads, dh, n, b = 128, 8, 16, 131, 2   # n % 16 != 0 triggers it
+    key = jax.random.PRNGKey(0)
+    params = transformer_init(key, dim=dim, depth=1, heads=heads,
+                              dim_head=dh, ff_mult=2)
+    npr = np.random.RandomState(0)
+    x = jnp.asarray(npr.randn(b, n, dim).astype(np.float32)) * 0.5
+    mask = jnp.asarray(npr.rand(b, n) > 0.2).at[:, 0].set(True)
+
+    def loss(p, impl_kwargs):
+        out = transformer_apply(p, x, heads=heads, dim_head=dh, mask=mask,
+                                scan_layers=False, **impl_kwargs)
+        return (out ** 2).sum()
+
+    ref, gref = jax.value_and_grad(loss)(params, {})
+    for kwargs in (dict(attn_impl="fused", ff_impl="block_stored"),
+                   dict(attn_impl="fused_recompute", ff_impl="block")):
+        v, g = jax.value_and_grad(loss)(params, kwargs)
+        assert abs(float(v) - float(ref)) / abs(float(ref)) < 2e-5, kwargs
+        mx = max(jax.tree.leaves(jax.tree.map(
+            lambda a, r: float(jnp.max(jnp.abs(a - r))), g, gref)))
+        scale = max(jax.tree.leaves(jax.tree.map(
+            lambda r: float(jnp.max(jnp.abs(r))), gref)))
+        assert mx < 5e-4 * scale, (kwargs, mx, scale)

@@ -327,6 +327,25 @@ def transformer_apply(params, x, *, heads: int, dim_head: int,
         use_mega = mega_store or _mega_ok(heads, dim_head, x.shape[-1],
                                           n_pad, x.dtype)
 
+    # sublane-align the sequence for the Pallas-kernel stack: the FF block
+    # flattens (b, n, d) → (b·n, d), which is a free bitcast when n is a
+    # multiple of the sublane tile but a physical relayout copy otherwise
+    # (~6 ms/step at the flagship b256 shape, r3 device trace). Padding
+    # with masked-out rows once per tower trades ~6% extra FF rows for
+    # zero relayouts; pad rows receive zero cotangents from the final
+    # slice, so every weight-gradient contribution from them is zero.
+    n_orig = x.shape[1]
+    sublane = 16 if x.dtype == jnp.bfloat16 else 8
+    seq_pad = (-n_orig) % sublane
+    align_seq = (seq_pad > 0 and n_orig >= 128 and use_mega
+                 and ff_impl in ("block", "block_stored")
+                 and return_hidden is None)
+    if align_seq:
+        x = jnp.pad(x, ((0, 0), (0, seq_pad), (0, 0)))
+        mask = jnp.pad(mask if mask is not None
+                       else jnp.ones((x.shape[0], n_orig), dtype=bool),
+                       ((0, 0), (0, seq_pad)))
+
     def block(x, layer):
         p, lrng = layer
         rngs = RngStream(lrng) if needs_dropout_rng else None
@@ -396,6 +415,8 @@ def transformer_apply(params, x, *, heads: int, dim_head: int,
             x, h = block(x, (layer_p, layer_rngs[i]))
             hs.append(h)
         hiddens = jnp.stack(hs) if collect_hidden else None
+    if align_seq:
+        x = x[:, :n_orig]
     out = layer_norm_apply(params["norm_out"], x)
 
     if return_hidden is not None:
