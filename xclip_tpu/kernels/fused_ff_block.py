@@ -628,8 +628,13 @@ def _ff_block_bwd(block_rows, block_cols, interpret, store_h, res, dout):
 
     # stored path: pass 2 reads h/dprod instead of the weight matrices, so
     # its VMEM footprint is tiny — run it at the FULL forward row tile
-    # (divides rows_pad by construction), doubling the K of the dW dots
+    # (divides rows_pad by construction), doubling the K of the dW dots;
+    # when the row count happens to be 512-divisible (it is for both
+    # flagship towers once transformer_apply sublane-aligns the sequence),
+    # go to K=512
     block_rows2 = fwd_block_rows if store_h else block_rows
+    if store_h and rows_pad % (2 * fwd_block_rows) == 0:
+        block_rows2 = 2 * fwd_block_rows
     nb2 = rows_pad // block_rows2
 
     stat_vec = lambda: pl.BlockSpec((block_rows2, 1), lambda j, r: (r, 0))
