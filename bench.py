@@ -89,7 +89,7 @@ def _is_oom(e: Exception) -> bool:
         JaxRuntimeError = xla_client.XlaRuntimeError
     s = str(e)
     if isinstance(e, JaxRuntimeError):
-        return s.startswith("RESOURCE_EXHAUSTED") or "RESOURCE_EXHAUSTED" in s
+        return "RESOURCE_EXHAUSTED" in s
     sl = s.lower()
     return any(k in sl for k in ("resource_exhausted", "out of memory",
                                  "ran out of memory"))

@@ -111,7 +111,8 @@ def main():
         extra = dict(use_mlm=True, use_visual_ssl=True,
                      visual_ssl_type="simclr", visual_ssl_hidden_layer=-1)
     if USE_FILIP:
-        extra = dict(use_all_token_embeds=True, visual_patch_dropout=0.0)
+        # update, don't rebind: --aux --filip composes (MLM + SimCLR + FILIP)
+        extra.update(use_all_token_embeds=True, visual_patch_dropout=0.0)
     kwargs = dict(
         dim_text=128, dim_image=128, dim_latent=128,
         num_text_tokens=49408,              # real BPE vocab

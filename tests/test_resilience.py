@@ -49,9 +49,9 @@ def test_run_with_recovery_replays_transient_failures(tmp_path):
     mgr = CheckpointManager(str(tmp_path / "ckpt"), keep=3)
     failures = {"left": 2}
 
-    def chunk(state, start_step):
-        # deterministic: +1 per step over 5 steps
-        for s in range(start_step, start_step + 5):
+    def chunk(state, start_step, end_step):
+        # deterministic: +1 per step over the explicit bounds
+        for s in range(start_step, end_step):
             state = TrainState(
                 params={"w": state.params["w"] + 1.0},
                 opt_state=state.opt_state, step=state.step + 1)
@@ -60,11 +60,13 @@ def test_run_with_recovery_replays_transient_failures(tmp_path):
                 raise _fake_device_error()
         return state
 
+    # total_steps NOT divisible by checkpoint_every: the short final chunk
+    # must run exactly its bounds, so step_18 holds exactly 18 steps
     final = run_with_recovery(chunk, mgr, _tiny_state(),
-                              total_steps=20, checkpoint_every=5,
+                              total_steps=18, checkpoint_every=5,
                               max_restarts=3)
-    np.testing.assert_array_equal(np.asarray(final.params["w"]), 20.0)
-    assert mgr.latest_step() == 20
+    np.testing.assert_array_equal(np.asarray(final.params["w"]), 18.0)
+    assert mgr.latest_step() == 18
 
 
 def _fake_device_error():
@@ -83,7 +85,7 @@ def _fake_device_error():
 def test_run_with_recovery_reraises_real_bugs(tmp_path):
     mgr = CheckpointManager(str(tmp_path / "ckpt"))
 
-    def chunk(state, start_step):
+    def chunk(state, start_step, end_step):
         raise ValueError("a Python bug, not a device failure")
 
     with pytest.raises(ValueError):

@@ -5,6 +5,35 @@ Public exports mirror the reference (`x_clip/__init__.py:1`) plus the
 functional core and TPU-specific subsystems.
 """
 
+import os as _os
+
+
+def _raise_scoped_vmem_limit():
+    """Raise the Mosaic scoped-VMEM limit to 24MB before backend init.
+
+    The 16MB default leaves most of a v5e's 128MB VMEM idle and gates off
+    the stored-backward Pallas kernels at the flagship shapes (the bench
+    numbers in README Performance assume 24MB). libtpu reads
+    LIBTPU_INIT_ARGS once at dlopen, so this only works if the TPU backend
+    has not been initialized yet — if it has (the user ran jax ops before
+    importing xclip_tpu), leave the env untouched so the kernel
+    `supported()` gates, which read it, stay consistent with the limit
+    actually in force and degrade to the recompute variants."""
+    args = _os.environ.get("LIBTPU_INIT_ARGS", "")
+    if "scoped_vmem" in args:
+        return
+    try:
+        from jax._src import xla_bridge as _xb
+        already = bool(getattr(_xb, "_backends", None))
+    except Exception:  # private API moved — assume initialized, stay safe
+        already = True
+    if not already:
+        _os.environ["LIBTPU_INIT_ARGS"] = (
+            args + " --xla_tpu_scoped_vmem_limit_kib=24576").strip()
+
+
+_raise_scoped_vmem_limit()
+
 from .api import CLIP
 from .model import CLIPModel
 from .nn.text import TextTransformer

@@ -94,12 +94,19 @@ class TextImageLoader:
         assert 0 <= self.shard_index < self.shard_count
 
         # fail at construction, not an epoch into training: an indexable
-        # source whose per-host shard is smaller than one batch would yield
-        # ZERO batches per epoch — with num_epochs=None the producer thread
-        # would silently spin through empty epochs forever
-        if _is_indexable(examples) and self.drop_remainder:
+        # source whose per-host shard cannot fill one batch (or is empty
+        # outright) would yield ZERO batches per epoch — with
+        # num_epochs=None the producer thread would silently spin through
+        # empty epochs forever
+        if _is_indexable(examples):
             per_shard = len(examples) // self.shard_count
-            if per_shard < batch_size:
+            if per_shard == 0:
+                raise ValueError(
+                    f"dataset of {len(examples)} examples across "
+                    f"{self.shard_count} shards leaves this shard empty — "
+                    "every epoch would yield zero batches. Use a dataset "
+                    "with at least one example per shard.")
+            if self.drop_remainder and per_shard < batch_size:
                 raise ValueError(
                     f"dataset of {len(examples)} examples gives "
                     f"{per_shard} per shard ({self.shard_count} shards) — "

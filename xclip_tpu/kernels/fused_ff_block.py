@@ -139,16 +139,6 @@ def _fwd_kernel_store(x_ref, gpre_ref, win_ref, gin_ref, wout_ref,
     h_ref[...] = h
 
 
-def _fwd_kernel_store_3d(x_ref, gpre_ref, win_ref, gin_ref, wout_ref,
-                         o_ref, h_ref, *, eps_pre, eps_in):
-    """Per-batch-element stored forward: block (1, n, d) — the exact array
-    shape, so no flatten/pad relayout ever happens (see _use_3d)."""
-    out, h = _fwd_store_core(x_ref[0], gpre_ref[...], win_ref[...],
-                             gin_ref[...], wout_ref[...], eps_pre, eps_in)
-    o_ref[0] = out
-    h_ref[0] = h
-
-
 def _ff_block_fwd_store_call(x2, g_pre, w_in, g_inner, w_out, block_rows,
                              interpret):
     rows, d = x2.shape

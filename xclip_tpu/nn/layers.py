@@ -321,7 +321,10 @@ def transformer_apply(params, x, *, heads: int, dim_head: int,
         # VMEM is tight. 'fused_recompute' forces the recompute backward —
         # the stored qkv residual costs O(b·n·3·hd) HBM per layer, which a
         # memory-bound large-batch run cannot afford (docs/SCALING.md).
-        mega_store = (attn_impl == "fused"
+        # stored backwards only pay off when a backward will run: at
+        # inference the forward would write qkv/attnout/proj residuals to
+        # HBM that nothing reads (an opaque pallas output XLA cannot DCE)
+        mega_store = (attn_impl == "fused" and training
                       and _mega_ok(heads, dim_head, x.shape[-1], n_pad,
                                    x.dtype, store_qkv=True))
         use_mega = mega_store or _mega_ok(heads, dim_head, x.shape[-1],
@@ -384,7 +387,7 @@ def transformer_apply(params, x, *, heads: int, dim_head: int,
                 from ..kernels.fused_ff_block import ff_block
                 x = ff_block(x, p["ff"]["norm"]["g"], p["ff"]["w_in"]["w"],
                              p["ff"]["inner_norm"]["g"], p["ff"]["w_out"]["w"],
-                             store_h=(ff_impl == "block_stored"))
+                             store_h=(ff_impl == "block_stored" and training))
             else:
                 if ff_impl in ("block", "block_stored"):
                     _warn_fallback(

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import os
 import re
+import shutil
 import subprocess
 import sys
 import time
@@ -67,7 +68,7 @@ class CheckpointManager:
         path = os.path.join(self.directory, f"step_{step}")
         save_checkpoint(path, state)
         for _, old in self._step_dirs()[: -self.keep]:
-            subprocess.run(["rm", "-rf", old], check=False)
+            shutil.rmtree(old, ignore_errors=True)
         return path
 
     def restore_latest(self, target) -> tuple:
@@ -91,17 +92,20 @@ def _default_is_transient(e: Exception) -> bool:
     return isinstance(e, JaxRuntimeError)
 
 
-def run_with_recovery(train_chunk: Callable[[Any, int], Any],
+def run_with_recovery(train_chunk: Callable[[Any, int, int], Any],
                       manager: CheckpointManager, init_state,
                       *, total_steps: int, checkpoint_every: int,
                       max_restarts: int = 3,
                       is_transient: Callable[[Exception], bool] = None):
-    """Drive `train_chunk(state, start_step) -> state` in checkpointed
-    chunks; on a transient device failure, restore the latest checkpoint
-    and replay from there (at most `max_restarts` times).
+    """Drive `train_chunk(state, start_step, end_step) -> state` in
+    checkpointed chunks; on a transient device failure, restore the latest
+    checkpoint and replay from there (at most `max_restarts` times).
 
-    `train_chunk` must be deterministic given (state, start_step) for
-    exact replay semantics — derive rng from the step counter.
+    The chunk bounds are explicit so the final (possibly short) chunk runs
+    exactly `end_step - start_step` steps and the saved step number always
+    matches the steps actually taken. `train_chunk` must be deterministic
+    given its arguments for exact replay semantics — derive rng from the
+    step counter.
     """
     is_transient = is_transient or _default_is_transient
     state, step = manager.restore_latest(init_state)
@@ -110,7 +114,7 @@ def run_with_recovery(train_chunk: Callable[[Any, int], Any],
     while step < total_steps:
         chunk_end = min(step + checkpoint_every, total_steps)
         try:
-            state = train_chunk(state, step)
+            state = train_chunk(state, step, chunk_end)
         except Exception as e:
             if restarts >= max_restarts or not is_transient(e):
                 raise
