@@ -6,20 +6,30 @@ This subsumes kernels/attention_block.py for the non-rotary case (the
 dominant one: the flagship text tower uses absolute positions, the vision
 tower always). Relative to that kernel it additionally absorbs the qkv
 matmul, the output projection, both LayerNorms, and the residual add — per
-layer the only HBM traffic is x in, out out, weights (resident across the
-sequential grid), and the per-row LSE saved for backward.
+layer the only HBM traffic is x in, out out, and the weights (resident
+across the sequential grid), plus the stored residuals below.
 
-The backward is a SINGLE kernel per layer: with dim 512 towers the weight
-gradient accumulators (dW_qkv 512×1536 + dW_out 512×512, fp32) fit in VMEM
-as constant-index output blocks, so — unlike the fused FF block, whose
-4096-wide dW needs a second column-blocked pass — everything (dx, dW_qkv,
-dW_out, dg_pre, dg_out) accumulates in one recompute pass. `supported()`
-gates on the implied VMEM budget.
+Two backward variants (`store_qkv`):
+
+  * STORED (the training default where VMEM allows): the forward also
+    emits qkv, attnout, and the pre-LN projection (storage dtype); the
+    backward reads them — no LN+qkv, p@v, or projection recompute — and
+    emits dqkv per batch element instead of accumulating dW_qkv in VMEM
+    (the caller computes dW_qkv = LN(x)^T @ dqkv as one large XLA dot).
+  * RECOMPUTE (`attn_impl='fused_recompute'`, inference, or tight VMEM):
+    a SINGLE kernel per layer re-derives everything and accumulates
+    dW_qkv/dW_out as constant-index fp32 output blocks — no O(b·n·hd)
+    residuals in HBM, the memory-lean choice for large batches
+    (docs/SCALING.md has the measured budgets).
+
+`supported()` gates both on the ACTIVE Mosaic scoped-VMEM limit.
 
 Semantics match `nn.layers.attention_apply`'s XLA path (key-padding +
 causal masks, fp32 softmax, scale on scores, dtype-eps LayerNorms, fp32 LN
-statistics). Sequence padded to 128; only the first `n_rows` (16-aligned)
-rows are computed.
+statistics). Arrays are UNPADDED: the pallas_call uses 128-aligned blocks
+on true (b, n, ·) shapes (partial-block writes hardware-masked, garbage
+reads zeroed in-kernel — see _fwd_common); only the first `n_rows`
+(16-aligned) rows are computed.
 """
 
 from __future__ import annotations
@@ -40,11 +50,12 @@ from ._common import (NEG_INF as _NEG_INF, eps_for as _eps_for,
 def supported(heads: int, dim_head: int, dim: int, n_pad: int,
               dtype, store_qkv: bool = False) -> bool:
     """VMEM budget check for the (tighter) backward kernel: weights + fp32
-    dW accumulators + row tiles + fp32 temporaries + one score matrix.
-    Gate is 15.75MB against the 16MB scoped limit (the flagship text shape —
-    8×64 heads, dim 512, n_pad 384 — estimates 15.4MB below and compiles;
-    the estimate overcounts double-buffering of the constant-index weight
-    blocks, so the gate deliberately sits close to the hardware limit).
+    dW accumulators + row tiles + fp32 temporaries + one score matrix,
+    gated at 98.4% of the ACTIVE scoped-VMEM limit (the flagship text
+    shape — 8×64 heads, dim 512, n_pad 384 — estimates ~15.9MB with the
+    bookkeeping margin and compiles under the 24MB limit that
+    xclip_tpu/__init__ requests; under a hard 16MB environment the gate
+    fails closed and layers fall back to the whole-head kernel).
 
     `store_qkv=True` (the stored-backward variant): the dW_qkv accumulator
     leaves VMEM (computed outside from the emitted dqkv) but qkv becomes a
