@@ -282,3 +282,27 @@ def test_sequence_alignment_pad_is_invisible():
         scale = max(jax.tree.leaves(jax.tree.map(
             lambda r: float(jnp.max(jnp.abs(r))), gref)))
         assert mx < 5e-4 * scale, (kwargs, mx, scale)
+
+
+def test_supported_gate_reads_active_vmem_limit(monkeypatch):
+    """The megablock VMEM gate must track the ACTIVE Mosaic scoped limit
+    (LIBTPU_INIT_ARGS): under a hard 16MB environment the flagship text
+    shape fails closed; under the 24MB xclip_tpu/__init__ requests it
+    passes for both backward variants."""
+    from xclip_tpu.kernels._common import scoped_vmem_limit_bytes
+    from xclip_tpu.kernels.attention_megablock import supported
+
+    monkeypatch.setenv("LIBTPU_INIT_ARGS",
+                       "--xla_tpu_scoped_vmem_limit_kib=16384")
+    assert scoped_vmem_limit_bytes() == 16 * 1024 * 1024
+    assert not supported(8, 64, 512, 384, jnp.bfloat16, store_qkv=True)
+
+    monkeypatch.setenv("LIBTPU_INIT_ARGS",
+                       "--xla_tpu_scoped_vmem_limit_kib=24576")
+    assert supported(8, 64, 512, 384, jnp.bfloat16, store_qkv=True)
+    assert supported(8, 64, 512, 384, jnp.bfloat16)
+    # the ViT-B/16-class towers need 32MB (docs/SCALING.md measured row)
+    assert not supported(12, 64, 768, 384, jnp.bfloat16, store_qkv=True)
+    monkeypatch.setenv("LIBTPU_INIT_ARGS",
+                       "--xla_tpu_scoped_vmem_limit_kib=32768")
+    assert supported(12, 64, 768, 384, jnp.bfloat16, store_qkv=True)
