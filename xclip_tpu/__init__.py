@@ -22,14 +22,40 @@ def _raise_scoped_vmem_limit():
     args = _os.environ.get("LIBTPU_INIT_ARGS", "")
     if "scoped_vmem" in args:
         return
+    already = None
     try:
         from jax._src import xla_bridge as _xb
-        already = bool(getattr(_xb, "_backends", None))
-    except Exception:  # private API moved — assume initialized, stay safe
+        probe = getattr(_xb, "backends_are_initialized", None)
+        if callable(probe):
+            already = bool(probe())
+        else:
+            backends = getattr(_xb, "_backends", None)
+            if backends is not None:
+                already = bool(backends)
+    except Exception:
+        pass
+    if already is None:  # both probes moved — assume initialized, stay safe
         already = True
     if not already:
         _os.environ["LIBTPU_INIT_ARGS"] = (
             args + " --xla_tpu_scoped_vmem_limit_kib=24576").strip()
+    elif _os.environ.get("PALLAS_AXON_POOL_IPS") or \
+            "tpu" in _os.environ.get("JAX_PLATFORMS", "").lower():
+        # the degradation must be visible (ADVICE r3) — but only where it
+        # exists: the stored-backward Pallas kernels gate off under the
+        # default 16MB limit on TPU; CPU runs (tests, the multichip
+        # dryrun) are unaffected and must not see the noise. Env hints
+        # stand in for jax.default_backend(), which would itself
+        # initialize a backend at import time.
+        import warnings
+        warnings.warn(
+            "xclip_tpu: JAX backends were initialized before import, so the "
+            "Mosaic scoped-VMEM limit stays at its 16MB default — "
+            "stored-backward Pallas kernels will fall back to recompute "
+            "variants. Import xclip_tpu before running any jax ops, or set "
+            "LIBTPU_INIT_ARGS=--xla_tpu_scoped_vmem_limit_kib=24576 "
+            "yourself, to get the benchmarked kernel configuration.",
+            stacklevel=2)
 
 
 _raise_scoped_vmem_limit()

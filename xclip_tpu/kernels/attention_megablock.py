@@ -76,10 +76,13 @@ def supported(heads: int, dim_head: int, dim: int, n_pad: int,
         qkv_tiles *= 2                              # both double-buffered
         qkv_tiles += 4 * n_pad * dim * itemsize     # attnout + proj inputs
     # partial-block DMA bookkeeping measured ~0.4MB beyond the tile
-    # arithmetic (the stored bwd compiled at 16.16M when this estimated
-    # 15.75M) — keep a constant margin so a default-16MB environment gates
-    # conservatively instead of failing at compile time
-    bookkeeping = 512 * 1024
+    # arithmetic ON THE STORED-BACKWARD variant (it compiled at 16.16M when
+    # this estimated 15.75M) — margin applies only there: the recompute
+    # variant at the flagship shape (~15.9MB est) is known to compile and
+    # run under a hard 16MB limit (rounds 1-2 shipped it), and charging it
+    # the margin would silently downgrade it to the whole-head kernel
+    # whenever the 24MB request could not apply (ADVICE r3)
+    bookkeeping = 512 * 1024 if store_qkv else 0
     total = weights + dw + row_tiles + qkv_tiles + f32_tmp + bookkeeping
     return total < 0.984 * _vmem_limit()
 

@@ -548,6 +548,14 @@ def _ff_block_bwd(block_rows, block_cols, interpret, store_h, res, dout):
     x2, rows, lead = _flatten_pad(x, pad_unit)
     do2, _, _ = _flatten_pad(dout.astype(x.dtype), pad_unit)
     rows_pad = x2.shape[0]
+    # with store_h the rows were padded to the FORWARD tile; the halved
+    # backward tile must divide that padding exactly or the pass-1 grid
+    # silently drops tail rows (nb truncates) — defaults (256→128) are
+    # fine, but a custom odd block_rows would not be
+    assert rows_pad % block_rows == 0, (
+        f"backward block_rows={block_rows} does not divide the "
+        f"forward-padded row count {rows_pad} (forward tile "
+        f"{fwd_block_rows}); pass a block_rows whose half divides it")
     nb = rows_pad // block_rows
     assert h2 is None or h2.shape[0] == rows_pad, (h2.shape, rows_pad)
 
