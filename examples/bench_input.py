@@ -43,14 +43,23 @@ def main():
     ds = ImageFolderDataset(root, image_size=SIZE)
     ncpu = os.cpu_count() or 1
     results = {}
-    for workers in sorted({0, 1, 2, 4, ncpu}):
-        loader = TextImageLoader(ds, batch_size=64, context_length=77,
-                                 num_workers=workers, drop_remainder=False)
-        t0 = time.perf_counter()
-        n = sum(b["text"].shape[0] for b in loader)
-        dt = time.perf_counter() - t0
-        results[f"workers={workers}"] = round(n / dt, 1)
-        print(f"workers={workers}: {n / dt:.1f} pairs/s", flush=True)
+    # sweep worker counts past the core count (VERDICT r3: multi-worker
+    # scaling demonstrated, not asserted) for BOTH pool backends — threads
+    # (PIL/numpy release the GIL) and processes (true parallelism + IPC)
+    for backend in ("thread", "process"):
+        for workers in sorted({0, 1, 4, 8, 16} | {ncpu}):
+            if workers == 0 and backend == "process":
+                continue  # 0 = inline; identical to the thread row
+            loader = TextImageLoader(ds, batch_size=64, context_length=77,
+                                     num_workers=workers,
+                                     worker_backend=backend,
+                                     drop_remainder=False)
+            t0 = time.perf_counter()
+            n = sum(b["text"].shape[0] for b in loader)
+            dt = time.perf_counter() - t0
+            results[f"{backend}:workers={workers}"] = round(n / dt, 1)
+            print(f"{backend:7s} workers={workers:2d}: {n / dt:7.1f} pairs/s",
+                  flush=True)
 
     best = max(results.values())
     # per-core rate = the single-worker rate (a worker count above the core

@@ -25,6 +25,7 @@ finishes with the same final state as an uninterrupted run.
 
 from __future__ import annotations
 
+import json
 import os
 import re
 import shutil
@@ -45,6 +46,10 @@ class CheckpointManager:
     """
 
     def __init__(self, directory: str, *, keep: int = 3):
+        if keep < 1:
+            # keep=0 would mean "delete everything just saved"; the slice
+            # [:-0] == [:0] would instead silently keep everything
+            raise ValueError(f"keep must be >= 1, got {keep}")
         self.directory = os.path.abspath(directory)
         self.keep = keep
         os.makedirs(self.directory, exist_ok=True)
@@ -64,11 +69,41 @@ class CheckpointManager:
         dirs = self._step_dirs()
         return dirs[-1][0] if dirs else None
 
-    def save(self, step: int, state) -> str:
+    def save(self, step: int, state, *, loader_state: Optional[dict] = None) -> str:
+        """`loader_state`: the `'loader_state'` dict from the last-consumed
+        `TextImageLoader` batch — persisted as a JSON sidecar so a restart
+        resumes the data order where it left off (`loader_state()` reads it
+        back; pass it to the loader's `resume_from`)."""
         path = os.path.join(self.directory, f"step_{step}")
         save_checkpoint(path, state)
+        if loader_state is not None:
+            tmp = path + ".loader.json.tmp"
+            with open(tmp, "w") as f:
+                json.dump(loader_state, f)
+            os.replace(tmp, path + ".loader.json")  # atomic like the ckpt
         for _, old in self._step_dirs()[: -self.keep]:
             shutil.rmtree(old, ignore_errors=True)
+            try:
+                os.remove(old + ".loader.json")
+            except OSError:
+                pass
+        # clean interrupted-save debris (a kill mid-save leaves an Orbax
+        # tmp dir that _step_dirs already ignores but would otherwise
+        # accumulate forever) — skip anything belonging to the step just
+        # written, which may still be finalizing
+        for name in os.listdir(self.directory):
+            if re.fullmatch(r"step_\d+(\.loader\.json)?", name):
+                continue
+            if "tmp" in name and name.startswith("step_") \
+                    and not name.startswith(f"step_{step}."):
+                p = os.path.join(self.directory, name)
+                if os.path.isdir(p):
+                    shutil.rmtree(p, ignore_errors=True)
+                else:
+                    try:
+                        os.remove(p)
+                    except OSError:
+                        pass
         return path
 
     def restore_latest(self, target) -> tuple:
@@ -78,6 +113,19 @@ class CheckpointManager:
             return target, None
         step, path = dirs[-1]
         return restore_checkpoint(path, target), step
+
+    def loader_state(self, step: Optional[int] = None) -> Optional[dict]:
+        """The data-order state saved alongside `step` (latest when None) —
+        None when the checkpoint carried none."""
+        if step is None:
+            step = self.latest_step()
+        if step is None:
+            return None
+        sidecar = os.path.join(self.directory, f"step_{step}.loader.json")
+        if not os.path.exists(sidecar):
+            return None
+        with open(sidecar) as f:
+            return json.load(f)
 
 
 def _default_is_transient(e: Exception) -> bool:
