@@ -153,10 +153,22 @@ class CLIPModel:
         """Causal-text pooling: move the FIRST EOS position's embedding to
         index 0 so downstream CLS-style pooling reads it (x_clip.py:670-685;
         the reference's undefined-`b` bug fixed, SURVEY §2.7.2). The
-        remaining rows keep their original order after it."""
+        remaining rows keep their original order after it.
+
+        Contract: every row SHOULD contain `text_eos_id` — the reference
+        silently requires this (its masked argmax reads garbage otherwise).
+        Defined fallback here (VERDICT r3): a row with no EOS pools its LAST
+        non-pad token instead (the natural causal summary position); that
+        position's embedding then also remains at its original place among
+        the per-token embeddings. An all-pad row pools its final position.
+        """
         eos_mask = text == self.text_eos_id
         eos_onehot = (jnp.cumsum(eos_mask, axis=-1) == 1) & eos_mask
         eos_idx = jnp.argmax(eos_onehot, axis=-1)
+        has_eos = eos_mask.any(axis=-1)
+        nonpad = text != self.text_pad_id
+        last_valid = text.shape[-1] - 1 - jnp.argmax(nonpad[:, ::-1], axis=-1)
+        eos_idx = jnp.where(has_eos, eos_idx, last_valid)
         eos_tokens = jnp.take_along_axis(enc_text, eos_idx[:, None, None], axis=1)
         rest_order = jnp.argsort(eos_onehot.astype(jnp.int32), axis=-1,
                                  stable=True)[:, : text.shape[-1] - 1]

@@ -74,7 +74,13 @@ class TextTransformer:
 
         rotary = None
         if self.rotary_pos_emb:
-            rotary = rotary_freqs(n + 1, min(self.dim_head, 32))
+            # freqs for n+1 so the prepended CLS gets position 0
+            # (x_clip.py:328) — but in causal mode there IS no CLS and the
+            # reference's unconditional n+1 crashes on broadcast against
+            # the n-length q/k/v (same bug class as the undefined-`b` EOS
+            # pooling, SURVEY §2.7.2); build for the real sequence length
+            rotary = rotary_freqs(n + (0 if self.causal else 1),
+                                  min(self.dim_head, 32))
 
         if not self.causal:
             cls = jnp.broadcast_to(params["cls_token"].astype(h.dtype), (b, 1, self.dim))
