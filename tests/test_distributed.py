@@ -376,3 +376,20 @@ def test_grad_accum_warns_about_microbatch_negatives():
         warnings.simplefilter("always")
         make_train_step(clip.model, optax.sgd(1.0))
     assert not any("negatives" in str(x.message) for x in w)
+
+
+def test_shard_batch_rejects_indivisible_batch():
+    """Equal-batch contract (VERDICT r3): the sharded loss locates positives
+    structurally (row_offset = axis_index * b_local), so an unequal split
+    would be silently wrong math — shard_batch must refuse it loudly.
+    (Conscious divergence from the reference's variable-size all_gather,
+    distributed.py:14-39.)"""
+    mesh = create_mesh((8, 1))
+    text, image = global_batch(b=12)        # 12 % 8 != 0
+    with pytest.raises(ValueError, match="not divisible"):
+        shard_batch((text, image), mesh)
+    # divisible passes and lands sharded
+    text, image = global_batch(b=16)
+    st, si = shard_batch((text, image), mesh)
+    assert st.sharding.spec[0] == "data"
+    assert si.sharding.spec[0] == "data"

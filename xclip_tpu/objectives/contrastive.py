@@ -327,6 +327,17 @@ def clip_contrastive_loss(
       * "replicated": all_gather both sides and compute the full (B, B) loss
         on every device — the reference's torch.distributed scheme
         (x_clip.py:759-769), kept for parity testing.
+
+    Equal-batch contract (conscious divergence from the reference's
+    variable-size all_gather, distributed.py:14-39): every device on
+    `axis_name` must hold the SAME number of REAL rows. Positives are
+    located structurally (`row_offset = axis_index * b_local`), so a
+    device that padded its shard with duplicates would count the padding
+    as real examples and misalign everyone's positives. SPMD guarantees
+    equal SHAPES by construction; equal REAL rows is the caller's
+    obligation — `train.shard_batch` validates global-batch divisibility,
+    and the `TextImageLoader` truncates every host to equal shards
+    (data/pipeline.py `_epoch_indices`).
     """
     if axis_name is not None and gather_impl == "sharded":
         return _sharded_contrastive_loss(

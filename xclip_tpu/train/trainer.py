@@ -165,9 +165,28 @@ def shard_state(state: TrainState, mesh) -> TrainState:
 
 
 def shard_batch(batch_arrays, mesh):
-    """Shard each array's leading (batch) dim over the 'data' axis."""
-    return tuple(
-        jax.device_put(a, data_sharding(mesh, a.ndim)) for a in batch_arrays)
+    """Shard each array's leading (batch) dim over the 'data' axis.
+
+    The contrastive loss's sharded path requires EQUAL per-device batches —
+    unlike the reference's variable-size all_gather (distributed.py:14-39,
+    pad → gather → mask-select), SPMD positives are located by
+    `row_offset = axis_index * b_local`, which is only correct when every
+    shard holds exactly b_local real rows. Validate loudly here rather
+    than letting a hand-built unequal batch compute a silently wrong
+    global loss (the loader's equal-shard truncation guarantees this for
+    pipeline users, data/pipeline.py)."""
+    n_data = int(dict(mesh.shape).get("data", 1))
+    out = []
+    for a in batch_arrays:
+        if a.shape[0] % n_data != 0:
+            raise ValueError(
+                f"global batch {a.shape[0]} is not divisible by the 'data' "
+                f"mesh axis ({n_data}): the sharded contrastive loss "
+                "requires equal per-device batches (positives are located "
+                "by row offset). Pad or truncate the batch to a multiple — "
+                "the TextImageLoader does this automatically.")
+        out.append(jax.device_put(a, data_sharding(mesh, a.ndim)))
+    return tuple(out)
 
 
 def default_optimizer(learning_rate: float = 3e-4, weight_decay: float = 0.2,
