@@ -65,7 +65,7 @@ def main():
     # per-core rate = the single-worker rate (a worker count above the core
     # count only interleaves; dividing the best rate by an arbitrary worker
     # count would overstate per-core throughput)
-    per_core = max(results["workers=0"], results["workers=1"])
+    per_core = max(results["thread:workers=0"], results["thread:workers=1"])
     print(json.dumps({
         "metric": "input pipeline feed rate (jpeg decode+resize+tokenize)",
         "image_size": SIZE, "host_cores": ncpu, "results": results,

@@ -7,11 +7,13 @@ current one trains, and finished batches are placed on device (optionally
 sharded over a mesh's 'data' axis) ahead of use, so host work overlaps
 device compute.
 
-Scaling model (docs/SCALING.md has the arithmetic): per-example cost is
-dominated by JPEG decode + resize (~131 pairs/s/core measured at 256px via
-examples/bench_input.py); the pool parallelizes it across `num_workers`
-threads (PIL and numpy release the GIL) and the 3k pairs/s north star needs
-~23 host cores (a standard v5e host VM has 112 vCPUs). Every
+Scaling model (docs/SCALING.md has the measured sweep): per-example cost
+is dominated by JPEG decode + resize (217 pairs/s/core measured at 256px
+via examples/bench_input.py — one worker thread overlapping the pipeline
+thread); the pool parallelizes it across `num_workers` threads (PIL and
+numpy release the GIL; `worker_backend='process'` for GIL-holding
+datasets) and the 3k pairs/s north star needs ~14 host cores (a standard
+v5e host VM has 112 vCPUs). Every
 stage is per-host: on multihost, each process decodes only ITS shard of the
 example stream (disjoint `shard_index::shard_count` slices — no duplicated
 data, no cross-host traffic).
@@ -301,9 +303,15 @@ class TextImageLoader:
         pool = None
         if self.num_workers > 0 and _is_indexable(self._examples):
             if self.worker_backend == "process":
+                # spawn, not fork: JAX's runtime is multithreaded and a
+                # fork()ed child can deadlock on its inherited locks (the
+                # interpreter itself warns). Spawn pays a one-time worker
+                # startup; the dataset ships once via the initializer.
+                import multiprocessing
                 pool = ProcessPoolExecutor(
                     self.num_workers, initializer=_process_worker_init,
-                    initargs=(self._examples,))
+                    initargs=(self._examples,),
+                    mp_context=multiprocessing.get_context("spawn"))
             else:
                 pool = ThreadPoolExecutor(self.num_workers)
 
