@@ -85,7 +85,10 @@ def _bwd_kernel(h_ref, g_ref, do_ref, dh_ref, dg_scr, *, eps, num_blocks):
     inner = h32.shape[-1] // 2
     a, b = h32[:, :inner], h32[:, inner:]
 
-    gelu_b = _gelu_exact(b)
+    # gelu value and derivative share ONE erf evaluation:
+    # gelu = b·Φ(b), gelu' = Φ(b) + b·φ(b)
+    phi = 0.5 * (1.0 + _erf(b * _INV_SQRT2))
+    gelu_b = b * phi
     prod = a * gelu_b
     mean = jnp.mean(prod, axis=-1, keepdims=True)
     centered = prod - mean
@@ -102,9 +105,8 @@ def _bwd_kernel(h_ref, g_ref, do_ref, dh_ref, dg_scr, *, eps, num_blocks):
     dprod = inv * (dy - m1 - xhat * m2)
 
     da = dprod * gelu_b
-    # d gelu(b) = Φ(b) + b·φ(b)
     pdf = jnp.exp(-0.5 * b * b) * 0.3989422804014327
-    dgelu = 0.5 * (1.0 + _erf(b * _INV_SQRT2)) + b * pdf
+    dgelu = phi + b * pdf
     db = dprod * a * dgelu
     dh_ref[...] = jnp.concatenate([da, db], axis=-1).astype(dh_ref.dtype)
 

@@ -65,6 +65,20 @@ def _gelu_grad(b):
     return 0.5 * (1.0 + _erf(b * _INV_SQRT2)) + b * pdf
 
 
+def _gelu_val_grad(b):
+    """(gelu(b), gelu'(b)) sharing ONE erf/exp evaluation.
+
+    The backward passes need both the value (for da) and the derivative
+    (for db); calling _gelu_exact + _gelu_grad separately evaluates the
+    ~13-op erf polynomial twice per element — on the flagship backward
+    that is ~143M redundant erf evaluations per layer of pure VPU work
+    serialized against the MXU dots. Same math: gelu = b·Φ(b),
+    gelu' = Φ(b) + b·φ(b)."""
+    phi = 0.5 * (1.0 + _erf(b * _INV_SQRT2))
+    pdf = jnp.exp(-0.5 * b * b) * 0.3989422804014327
+    return b * phi, phi + b * pdf
+
+
 # ------------------------------------------------------------------ forward
 
 def _fwd_kernel(x_ref, gpre_ref, win_ref, gin_ref, wout_ref, o_ref,
@@ -196,7 +210,7 @@ def _bwd_dx_kernel(x_ref, gpre_ref, win_ref, gin_ref, wout_ref, do_ref,
                             preferred_element_type=jnp.float32)
     inner = h.shape[-1] // 2
     a, b = h[:, :inner], h[:, inner:]
-    gelu_b = _gelu_exact(b)
+    gelu_b, gelu_db = _gelu_val_grad(b)
     prod = a * gelu_b
     mean_in = jnp.mean(prod, axis=-1, keepdims=True)
     c = prod - mean_in
@@ -224,7 +238,7 @@ def _bwd_dx_kernel(x_ref, gpre_ref, win_ref, gin_ref, wout_ref, do_ref,
 
     # GEGLU backward → dh, then dxn = dh @ w_in^T
     da = dprod * gelu_b
-    db = dprod * a * _gelu_grad(b)
+    db = dprod * a * gelu_db
     dh = jnp.concatenate([da, db], axis=-1).astype(x.dtype)
     dxn = jax.lax.dot_general(dh, win_ref[...], (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
@@ -257,7 +271,7 @@ def _p1_stored_core(x, do, gpre, gin, win, wout, h_raw, eps_pre, eps_in):
     h = h_raw.astype(jnp.float32)
     inner = h.shape[-1] // 2
     a, b = h[:, :inner], h[:, inner:]
-    gelu_b = _gelu_exact(b)
+    gelu_b, gelu_db = _gelu_val_grad(b)
     prod = a * gelu_b
     mean_in = jnp.mean(prod, axis=-1, keepdims=True)
     c = prod - mean_in
@@ -275,7 +289,7 @@ def _p1_stored_core(x, do, gpre, gin, win, wout, h_raw, eps_pre, eps_in):
     dprod = inv_in * (dyg - m1 - xhat_in * m2)
 
     da = dprod * gelu_b
-    db = dprod * a * _gelu_grad(b)
+    db = dprod * a * gelu_db
     dh = jnp.concatenate([da, db], axis=-1).astype(x.dtype)
     dxn = jax.lax.dot_general(dh, win, (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
@@ -358,7 +372,7 @@ def _bwd_dw_kernel(x_ref, gpre_ref, wina_ref, winb_ref, gin_ref, wout_ref,
                             preferred_element_type=jnp.float32)
     b = jax.lax.dot_general(xn, winb_ref[...], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    gelu_b = _gelu_exact(b)
+    gelu_b, gelu_db = _gelu_val_grad(b)
     prod = a * gelu_b
     xhat = (prod - mean_in) * inv_in
 
@@ -368,7 +382,7 @@ def _bwd_dw_kernel(x_ref, gpre_ref, wina_ref, winb_ref, gin_ref, wout_ref,
     dprod = inv_in * (dy * gin32 - m1 - xhat * m2)
 
     da = (dprod * gelu_b).astype(x.dtype)
-    db = (dprod * a * _gelu_grad(b)).astype(x.dtype)
+    db = (dprod * a * gelu_db).astype(x.dtype)
     y = (xhat * gin32).astype(x.dtype)              # normalized inner · g
 
     dwina_scr[...] += jax.lax.dot_general(
@@ -398,14 +412,14 @@ def _p2_stored_core(x, do, gpre, gin_slice, ha, hb, dprod_raw,
 
     a = ha.astype(jnp.float32)
     b = hb.astype(jnp.float32)
-    gelu_b = _gelu_exact(b)
+    gelu_b, gelu_db = _gelu_val_grad(b)
     prod = a * gelu_b
     xhat = (prod - mean_in) * inv_in
 
     dprod = dprod_raw.astype(jnp.float32)
 
     da = (dprod * gelu_b).astype(x.dtype)
-    db = (dprod * a * _gelu_grad(b)).astype(x.dtype)
+    db = (dprod * a * gelu_db).astype(x.dtype)
     y = (xhat * gin32).astype(x.dtype)
 
     dwina = jax.lax.dot_general(
