@@ -1,0 +1,97 @@
+"""ViT-B/16-class scaling point: train-step throughput at dim 768 with the
+kernel-gate coverage under the production 24 MB scoped-VMEM limit.
+
+The flagship bench (bench.py) runs the README ViT-B/32-class config; this
+script demonstrates the kernel stack's generality one model class up
+(docs/SCALING.md "ViT-B/16-class" section): dim 768, 12+12 layers,
+12 heads, patch 16 — ~210 M params.
+
+Usage: python examples/bench_vitb16.py [batch] [steps]
+Prints one JSON line with the measured pairs/s and every kernel gate's
+verdict at this shape.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+_args = os.environ.get("LIBTPU_INIT_ARGS", "")
+if "scoped_vmem" not in _args:
+    os.environ["LIBTPU_INIT_ARGS"] = (
+        _args + " --xla_tpu_scoped_vmem_limit_kib=24576").strip()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def gate_report():
+    """Every Pallas kernel's supported() verdict at the ViT-B/16 shapes
+    (dim 768, 12 heads x 64, inner 3072; text n_pad 272, vision n_pad 144)
+    under the ACTIVE scoped-VMEM limit."""
+    from xclip_tpu.kernels import (attention_block, attention_megablock,
+                                   fused_ff_block)
+    from xclip_tpu.kernels._common import scoped_vmem_limit_bytes
+    gates = {"scoped_vmem_limit_mib": scoped_vmem_limit_bytes() / 2**20}
+    for n_pad, tower in ((272, "text"), (144, "vision")):
+        for store in (False, True):
+            key = f"megablock_{tower}_{'stored' if store else 'recompute'}"
+            gates[key] = attention_megablock.supported(
+                12, 64, 768, n_pad, jnp.bfloat16, store_qkv=store)
+    gates["whole_head_attention"] = attention_block.supported(12, 64)
+    gates["ff_block"] = fused_ff_block.supported(768, 3072)
+    return gates
+
+
+def run(batch, steps, warmup, attn_impl, ff_impl):
+    from xclip_tpu import CLIP
+    from xclip_tpu.train import (create_train_state, default_optimizer,
+                                 make_train_step)
+    clip = CLIP(
+        dim_text=768, dim_image=768, dim_latent=768, num_text_tokens=10000,
+        text_enc_depth=12, text_seq_len=256, text_heads=12,
+        visual_enc_depth=12, visual_heads=12, visual_image_size=256,
+        visual_patch_size=16, visual_patch_dropout=0.5,
+        scan_layers=False, attn_impl=attn_impl, ff_impl=ff_impl,
+        param_dtype=jnp.bfloat16, compute_dtype="bfloat16")
+    optimizer = default_optimizer(learning_rate=1e-4)
+    state = create_train_state(clip.model, jax.random.PRNGKey(0), optimizer,
+                               dtype=jnp.bfloat16)
+    step = make_train_step(clip.model, optimizer)
+    npr = np.random.RandomState(0)
+    text = jnp.asarray(npr.randint(1, 10000, (batch, 256)))
+    image = jnp.asarray(npr.randn(batch, 3, 256, 256).astype(np.float32))
+    rngs = [jax.random.PRNGKey(i) for i in range(steps + warmup)]
+    for i in range(warmup):
+        state, metrics = step(state, text, image, rngs[i])
+    float(metrics["loss"])  # drain compile + warmup (bench.py methodology)
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, metrics = step(state, text, image, rngs[warmup + i])
+    loss = float(metrics["loss"])
+    elapsed = time.perf_counter() - t0
+    return batch * steps / elapsed, loss
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    gates = gate_report()
+    # memory-lean production config for the larger local batch (the stored
+    # residuals OOM at b128 — docs/SCALING.md): recompute-backward kernels
+    pairs, loss = run(batch, steps, warmup=2,
+                      attn_impl="fused_recompute", ff_impl="block")
+    print(json.dumps({
+        "metric": "pairs/s/chip (ViT-B/16-class, dim 768, 12+12, 256px/p16)",
+        "value": round(pairs, 1), "batch_size": batch,
+        "config": {"attn_impl": "fused_recompute", "ff_impl": "block",
+                   "param_dtype": "bfloat16"},
+        "final_loss": round(loss, 4), "gates": gates,
+    }))
+
+
+if __name__ == "__main__":
+    main()
