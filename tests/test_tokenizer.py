@@ -85,6 +85,18 @@ def test_tokenize_pad_and_truncate():
     assert padded.shape == (1, 8)
 
 
+def test_tokenize_rejects_non_string_input():
+    # reference contract: beartype on tokenize (x_clip/tokenizer.py:140)
+    # accepts str | List[str] only — wrong types must raise loudly, not
+    # surface as an opaque regex error inside encode()
+    with pytest.raises(TypeError, match="str"):
+        tok.tokenize(123)
+    with pytest.raises(TypeError, match="int"):
+        tok.tokenize(["a cat", 7])
+    with pytest.raises(TypeError, match="bytes"):
+        tok.tokenize([b"a cat"])
+
+
 def test_tokenize_parity_with_reference():
     ours = tok.tokenize(SAMPLES[:4], context_length=64)
     theirs = ref_tokenizer.tokenize(list(SAMPLES[:4]), context_length=64)

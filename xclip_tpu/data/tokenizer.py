@@ -177,6 +177,19 @@ class SimpleTokenizer:
     ) -> np.ndarray:
         if isinstance(texts, str):
             texts = [texts]
+        # input validation matching the reference's beartype contract
+        # (x_clip/tokenizer.py:140 — str | List[str]); a non-string element
+        # would otherwise surface as an opaque regex TypeError deep in
+        # encode()
+        if not isinstance(texts, (list, tuple)) or any(
+                not isinstance(t, str) for t in texts):
+            raise TypeError(
+                "tokenize() expects a str or a list of str, got "
+                f"{type(texts).__name__}"
+                + ("" if not isinstance(texts, (list, tuple)) else
+                   " containing " + ", ".join(sorted(
+                       {type(t).__name__ for t in texts
+                        if not isinstance(t, str)}))))
 
         all_tokens = [self.encode(t) for t in texts]
         max_length = max((len(t) for t in all_tokens), default=0)
