@@ -30,7 +30,7 @@ BASELINE_PAIRS_PER_SEC = 3000.0
 def run(batch_size=256, steps=40, warmup=3, param_dtype=jnp.float32,
         attn_impl="xla", compute_dtype="bfloat16", remat=False,
         remat_policy="dots", loss_impl="xla", scan_layers=False,
-        ff_impl="xla"):
+        ff_impl="xla", visual_attn_impl=None):
     from xclip_tpu import CLIP
     from xclip_tpu.train import (create_train_state, default_optimizer,
                                  make_train_step)
@@ -42,7 +42,8 @@ def run(batch_size=256, steps=40, warmup=3, param_dtype=jnp.float32,
         visual_patch_size=32, visual_patch_dropout=0.5,
         checkpoint_during_training=remat, remat_policy=remat_policy,
         scan_layers=scan_layers,
-        attn_impl=attn_impl, loss_impl=loss_impl, ff_impl=ff_impl,
+        attn_impl=attn_impl, visual_attn_impl=visual_attn_impl,
+        loss_impl=loss_impl, ff_impl=ff_impl,
         param_dtype=param_dtype, compute_dtype=compute_dtype)
 
     optimizer = default_optimizer(learning_rate=1e-4)
@@ -109,7 +110,8 @@ def main():
     skipped = []
     while batch >= 16:
         for cfg in (dict(remat=False, scan_layers=False,
-                         attn_impl="fused", ff_impl="block_stored",
+                         attn_impl="fused", visual_attn_impl="xla",
+                         ff_impl="block_stored",
                          param_dtype=jnp.bfloat16),
                     dict(remat=False, scan_layers=False,
                          attn_impl="fused", ff_impl="block",

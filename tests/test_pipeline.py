@@ -248,3 +248,16 @@ def test_loader_producer_exits_on_early_consumer_exit():
             break
         time.sleep(0.05)
     assert not leaked, f"producer thread(s) still alive: {leaked}"
+
+
+def test_loader_image_dtype_bfloat16():
+    """image_dtype='bfloat16' collates device-ready bf16 batches (one
+    fp32→bf16 rounding at the batch boundary), so training with
+    compute_dtype='bfloat16' performs no in-graph ingest cast."""
+    loader = TextImageLoader(make_examples(4), batch_size=4,
+                             context_length=16, image_dtype="bfloat16")
+    (batch,) = list(loader)
+    assert batch["image"].dtype == jnp.bfloat16
+    ref = np.stack([im for _, im in make_examples(4)])
+    np.testing.assert_array_equal(np.asarray(batch["image"]),
+                                  ref.astype(jnp.bfloat16))

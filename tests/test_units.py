@@ -187,6 +187,35 @@ def test_flash_attention_inside_model():
     np.testing.assert_allclose(float(la), float(lb), rtol=1e-4)
 
 
+def test_visual_attn_impl_override():
+    """`visual_attn_impl` routes ONLY the vision tower: with the text tower
+    on 'flash' and vision overridden to 'xla', the loss matches all-'xla'
+    bit-for-bit on the vision side and to flash tolerance on text. The
+    flagship bench uses fused text + xla vision (the 33-token vision
+    sequences put 48-row tiles on the 128-row MXU in per-image Pallas grid
+    steps; XLA batches those matmuls across the batch — README)."""
+    from xclip_tpu import CLIP
+    import numpy as np
+    cfg = dict(dim_text=32, dim_image=32, dim_latent=32, num_text_tokens=50,
+               text_enc_depth=1, text_seq_len=8, text_heads=2, text_dim_head=16,
+               visual_enc_depth=1, visual_heads=2, visual_dim_head=16,
+               visual_image_size=16, visual_patch_size=8,
+               visual_patch_dropout=0.0)
+    a = CLIP(**cfg, attn_impl="xla", key=jax.random.PRNGKey(3))
+    b = CLIP(**cfg, attn_impl="flash", visual_attn_impl="xla",
+             key=jax.random.PRNGKey(3))
+    rng = np.random.RandomState(0)
+    text = jnp.asarray(rng.randint(1, 50, (4, 8)))
+    image = jnp.asarray(rng.randn(4, 3, 16, 16).astype(np.float32))
+    la = a(text, image, return_loss=True, params=a.params)
+    lb = b(text, image, return_loss=True, params=a.params)
+    np.testing.assert_allclose(float(la), float(lb), rtol=1e-4)
+    # vision-only path: identical impl → identical latents
+    ia = a.model.encode_image(a.params, image)
+    ib = b.model.encode_image(a.params, image)
+    np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))
+
+
 # ------------------------------------------------------------- augmentations
 
 def test_default_augment_shapes_and_finite():

@@ -118,6 +118,7 @@ class CLIP:
         key: Optional[jax.Array] = None,
         param_dtype=jnp.float32,
         attn_impl: str = "xla",
+        visual_attn_impl: Optional[str] = None,
         loss_impl: str = "xla",
         filip_block: Optional[int] = None,
         remat_policy: Optional[str] = None,
@@ -206,6 +207,7 @@ class CLIP:
             multiview_loss_weight=multiview_loss_weight,
             sim_reg_loss_weight=sim_reg_loss_weight,
             attn_impl=attn_impl,
+            visual_attn_impl=visual_attn_impl,
             loss_impl=loss_impl,
             filip_block=filip_block,
             compute_dtype=compute_dtype,

@@ -27,6 +27,7 @@ from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from typing import Iterator, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..parallel.mesh import data_sharding
@@ -84,6 +85,11 @@ class TextImageLoader:
         sees a DISJOINT `shard_index::shard_count` slice of each epoch's
         (shuffled) order — the multihost-correctness requirement the
         single-stream design silently violated.
+      image_dtype: numpy dtype name for the collated image batch
+        ('float32' default for reference parity; 'bfloat16' halves the
+        host→device transfer AND removes the in-graph fp32→bf16 ingest
+        cast when training with compute_dtype='bfloat16' — the images
+        arrive in the dtype the MXU consumes).
       resume_from: a `loader_state` dict (`{'epoch': E, 'batch_index': B}`)
         taken from a previously yielded batch — iteration resumes with the
         batch that FOLLOWED it: epoch E's permutation is re-derived from
@@ -110,6 +116,7 @@ class TextImageLoader:
                  num_epochs: Optional[int] = 1,
                  shard_count: Optional[int] = None,
                  shard_index: Optional[int] = None,
+                 image_dtype: str = "float32",
                  resume_from: Optional[dict] = None):
         self._examples = examples
         self.batch_size = batch_size
@@ -131,6 +138,8 @@ class TextImageLoader:
         self.shard_index = (shard_index if shard_index is not None
                             else jax.process_index())
         assert 0 <= self.shard_index < self.shard_count
+        # jnp.dtype resolves 'bfloat16' (ml_dtypes) alongside numpy names
+        self._image_dtype = jnp.dtype(image_dtype)
 
         if resume_from is not None:
             if not _is_indexable(examples):
@@ -192,7 +201,11 @@ class TextImageLoader:
             for i, t in enumerate(texts):
                 t = np.asarray(t, dtype=np.int32)[: self.context_length]
                 tokens[i, : len(t)] = t
+        # decode/resize in fp32, quantize once at the batch boundary (a
+        # per-example bf16 asarray would round twice through PIL paths)
         images = np.stack([np.asarray(im, dtype=np.float32) for im in images])
+        if self._image_dtype != np.float32:
+            images = images.astype(self._image_dtype)
         return tokens, images
 
     # ------------------------------------------- indexable (pooled) source

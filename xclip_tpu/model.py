@@ -81,6 +81,11 @@ class CLIPModel:
     multiview_loss_weight: float = 0.1
     sim_reg_loss_weight: float = 0.0
     attn_impl: str = "xla"
+    # vision-tower override (None = inherit attn_impl). The flagship vision
+    # tower runs 33-token sequences: per-image Pallas grid steps put 48 rows
+    # on 128-row MXU tiles, while XLA batches the qkv/projection matmuls
+    # across the whole batch — measured faster there (docs/DESIGN.md).
+    visual_attn_impl: Optional[str] = None
     loss_impl: str = "xla"               # "fused" = Pallas streaming-LSE InfoNCE
     filip_block: Optional[int] = None    # column-blocked FILIP reductions
     compute_dtype: Optional[str] = None  # e.g. "bfloat16" for MXU-rate matmuls
@@ -209,7 +214,7 @@ class CLIPModel:
             image = image.astype(jnp.dtype(self.compute_dtype))
         enc_image = self.visual_encoder.apply(
             params["visual"], image, rng=rng, training=training,
-            attn_impl=self.attn_impl)
+            attn_impl=self.visual_attn_impl or self.attn_impl)
         if self.use_all_token_embeds:
             embeds = enc_image[:, 1:] if self.visual_has_cls_token else enc_image
         else:
@@ -262,7 +267,8 @@ class CLIPModel:
             image_ssl_loss = self.visual_ssl.apply(
                 params["visual_ssl"], self.visual_encoder, params["visual"],
                 image, rng=rngs.next(), training=training,
-                attn_impl=self.attn_impl, return_bn_updates=return_metrics)
+                attn_impl=self.visual_attn_impl or self.attn_impl,
+                return_bn_updates=return_metrics)
             if return_metrics:
                 image_ssl_loss, bn_updates = image_ssl_loss
 
@@ -306,7 +312,8 @@ class CLIPModel:
             enc_image = self.visual_encoder.apply(
                 params["visual"], image,
                 rng=rngs.next() if rng is not None else None,
-                training=training, attn_impl=self.attn_impl)
+                training=training,
+                attn_impl=self.visual_attn_impl or self.attn_impl)
         if freeze_image_encoder:
             enc_image = jax.lax.stop_gradient(enc_image)
 
