@@ -144,9 +144,13 @@ def main():
         state = shard_state(state, mesh)
     step = make_train_step(clip.model, optimizer, donate=False)
 
-    loader = TextImageLoader(SyntheticPatterns(), BATCH, context_length=SEQ,
-                             mesh=mesh, num_workers=2, shuffle_seed=0,
-                             num_epochs=None)
+    loader = TextImageLoader(
+        SyntheticPatterns(), BATCH, context_length=SEQ,
+        mesh=mesh, num_workers=2, shuffle_seed=0, num_epochs=None,
+        # bf16 training consumes bf16 pixels: collate them device-ready
+        # (halves host->device transfer, no in-graph ingest cast)
+        image_dtype=("bfloat16" if jax.default_backend() == "tpu"
+                     else "float32"))
     rng = jax.random.PRNGKey(1)
     first_metrics = None
     with MetricsLogger(METRICS_PATH, flush_every=5) as logger:

@@ -196,6 +196,9 @@ def default_optimizer(learning_rate: float = 3e-4, weight_decay: float = 0.2,
     """CLIP-style AdamW (decoupled weight decay, β2=0.98) with optional
     clipping and cosine schedule."""
     if warmup_steps and total_steps:
+        # optax requires decay_steps > warmup_steps; short runs (e.g. smoke
+        # tests with fewer total steps than the warmup) clamp the warmup.
+        warmup_steps = min(warmup_steps, max(total_steps - 1, 1))
         schedule = optax.warmup_cosine_decay_schedule(
             0.0, learning_rate, warmup_steps, total_steps)
     else:
