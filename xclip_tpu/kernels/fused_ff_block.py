@@ -309,11 +309,17 @@ def _bwd_dx_kernel_stored(x_ref, gpre_ref, win_ref, gin_ref, wout_ref,
                           dx_ref, mean_ref, inv_ref, m1_ref, m2_ref,
                           dprod_ref, dgpre_ref, dgin_ref,
                           dgpre_scr, dgin_scr, *, eps_pre, eps_in,
-                          num_blocks):
+                          num_blocks, row_split=1):
     """Pass 1 with the forward-stored h: identical math to _bwd_dx_kernel
     but the x@w_in recompute is replaced by a read of h. Also emits dprod
     (storage dtype) so pass 2 can skip the dy = do@w_out^T dot and the
-    inner-LN backward entirely."""
+    inner-LN backward entirely.
+
+    `row_split` > 1 computes the tile in that many independent row slices:
+    each row's math is self-contained, and splitting breaks the tile's
+    serial MXU-dot → VPU-elementwise → MXU-dot dependency chain into
+    independent per-slice chains the Mosaic scheduler can overlap
+    (slice k's GEGLU/LN backward against slice k+1's dy dot)."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -321,17 +327,23 @@ def _bwd_dx_kernel_stored(x_ref, gpre_ref, win_ref, gin_ref, wout_ref,
         dgpre_scr[...] = jnp.zeros_like(dgpre_scr)
         dgin_scr[...] = jnp.zeros_like(dgin_scr)
 
-    (dx, mean_in, inv_in, m1, m2, dprod, dgpre_t, dgin_t) = _p1_stored_core(
-        x_ref[...], do_ref[...], gpre_ref[...], gin_ref[...], win_ref[...],
-        wout_ref[...], h_ref[...], eps_pre, eps_in)
-    dx_ref[...] = dx
-    mean_ref[...] = mean_in
-    inv_ref[...] = inv_in
-    m1_ref[...] = m1
-    m2_ref[...] = m2
-    dprod_ref[...] = dprod
-    dgpre_scr[...] += dgpre_t
-    dgin_scr[...] += dgin_t
+    rows = x_ref.shape[0]
+    assert rows % row_split == 0
+    step = rows // row_split
+    for s in range(row_split):
+        sl = slice(s * step, (s + 1) * step)
+        (dx, mean_in, inv_in, m1, m2, dprod, dgpre_t, dgin_t) = \
+            _p1_stored_core(
+                x_ref[sl], do_ref[sl], gpre_ref[...], gin_ref[...],
+                win_ref[...], wout_ref[...], h_ref[sl], eps_pre, eps_in)
+        dx_ref[sl] = dx
+        mean_ref[sl] = mean_in
+        inv_ref[sl] = inv_in
+        m1_ref[sl] = m1
+        m2_ref[sl] = m2
+        dprod_ref[sl] = dprod
+        dgpre_scr[...] += dgpre_t
+        dgin_scr[...] += dgin_t
 
     @pl.when(i == num_blocks - 1)
     def _emit():
@@ -595,8 +607,13 @@ def _ff_block_bwd(block_rows, block_cols, interpret, store_h, res, dout):
         jax.ShapeDtypeStruct((rows_pad, 1), jnp.float32),
     ]
     if store_h:
+        import os
+        row_split = int(os.environ.get("XCLIP_FF_P1_SPLIT", "1"))
+        if block_rows % row_split != 0:
+            row_split = 1
         kernel1 = functools.partial(_bwd_dx_kernel_stored, eps_pre=eps,
-                                    eps_in=eps, num_blocks=nb)
+                                    eps_in=eps, num_blocks=nb,
+                                    row_split=row_split)
         dx_in_specs.append(
             pl.BlockSpec((block_rows, two_inner), lambda i: (i, 0)))
         dx_args.append(h2)
