@@ -53,7 +53,11 @@ def run(batch_size=256, steps=40, warmup=3, param_dtype=jnp.float32,
 
     npr = np.random.RandomState(0)
     text = jnp.asarray(npr.randint(1, 10000, (batch_size, 256)))
-    image = jnp.asarray(npr.randn(batch_size, 3, 256, 256).astype(np.float32))
+    # stage images in the compute dtype (the loader's image_dtype path,
+    # data/pipeline.py): feeding fp32 makes every step re-read 2x the bytes
+    # and burn an HBM-bound cast before patchify
+    image = jnp.asarray(npr.randn(batch_size, 3, 256, 256).astype(np.float32),
+                        dtype=jnp.dtype(compute_dtype))
 
     rngs = [jax.random.PRNGKey(i) for i in range(steps + warmup)]
     for i in range(warmup):
