@@ -250,6 +250,23 @@ def test_loader_producer_exits_on_early_consumer_exit():
     assert not leaked, f"producer thread(s) still alive: {leaked}"
 
 
+def test_loader_process_worker_backend():
+    """worker_backend='process' (spawn pool, dataset shipped once via the
+    initializer) yields byte-identical batches to the inline path — the
+    GIL-holding-dataset escape hatch must not change data or order."""
+    ref = list(TextImageLoader(make_examples(8), batch_size=4,
+                               context_length=16))
+    got = list(TextImageLoader(make_examples(8), batch_size=4,
+                               context_length=16, num_workers=1,
+                               worker_backend="process"))
+    assert len(got) == len(ref)
+    for b_ref, b_got in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(b_got["text"]),
+                                      np.asarray(b_ref["text"]))
+        np.testing.assert_array_equal(np.asarray(b_got["image"]),
+                                      np.asarray(b_ref["image"]))
+
+
 def test_loader_image_dtype_bfloat16():
     """image_dtype='bfloat16' collates device-ready bf16 batches (one
     fp32→bf16 rounding at the batch boundary), so training with
