@@ -47,6 +47,7 @@ tiles, 516→1024-program grids), a net loss. The flat layout stays.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -607,7 +608,6 @@ def _ff_block_bwd(block_rows, block_cols, interpret, store_h, res, dout):
         jax.ShapeDtypeStruct((rows_pad, 1), jnp.float32),
     ]
     if store_h:
-        import os
         row_split = int(os.environ.get("XCLIP_FF_P1_SPLIT", "1"))
         if block_rows % row_split != 0:
             row_split = 1
