@@ -103,11 +103,12 @@ def _is_oom(e: Exception) -> bool:
 def main():
     import sys
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-    # fastest-first config ladder (r2/r3 measurements, BASELINE.md):
-    #   1. whole-block Pallas kernels (fused whole-head attention + FF block
-    #      with stored-h backward) + bf16 weights, unrolled, no remat — the
-    #      r3 winner (~1700 pairs/s @ b128)
-    #   2. same with the recompute-backward FF block (r2 winner, ~1550)
+    # fastest-first config ladder (r2-r4 measurements, BASELINE.md):
+    #   1. text tower on stored-backward Pallas kernels (fused whole-head
+    #      attention + FF block with stored h/dprod), vision tower on XLA
+    #      attention, bf16 weights, unrolled, no remat — the r4 winner
+    #      (~2070 pairs/s @ b256)
+    #   2. both towers on Pallas, recompute-backward FF block (r2 style)
     #   3. same kernels with fp32 weights (~1415)
     #   4. plain XLA unrolled no-remat (r1 winner, ~1390 @ b128)
     #   5. scanned + remat (compiles everywhere), then halve the batch
