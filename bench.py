@@ -100,9 +100,13 @@ def _is_oom(e: Exception) -> bool:
                                  "ran out of memory"))
 
 
-def main():
+def run_ladder(batch, run_fn=run):
+    """Walk the config ladder (fastest first), halving the batch when every
+    rung fails, and return the result record for the JSON line. Split from
+    main() so the fallback logic is unit-testable (tests/test_bench.py) —
+    this file produces the round's headline artifact and must degrade
+    predictably on a sick device, not crash."""
     import sys
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     # fastest-first config ladder (r2-r4 measurements, BASELINE.md):
     #   1. text tower on stored-backward Pallas kernels (fused whole-head
     #      attention + FF block with stored h/dprod), vision tower on XLA
@@ -130,7 +134,7 @@ def main():
             # rung before falling down the ladder
             for attempt in range(2):
                 try:
-                    pairs_per_sec, loss = run(batch_size=batch, **cfg)
+                    pairs_per_sec, loss = run_fn(batch_size=batch, **cfg)
                     ok = True
                     break
                 except Exception as e:
@@ -176,7 +180,13 @@ def main():
     if skipped:
         # masked fallbacks stay visible: every rung the ladder skipped, why
         result["skipped_configs"] = skipped
-    print(json.dumps(result))
+    return result
+
+
+def main():
+    import sys
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    print(json.dumps(run_ladder(batch)))
 
 
 if __name__ == "__main__":
