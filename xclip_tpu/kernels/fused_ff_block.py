@@ -608,6 +608,11 @@ def _ff_block_bwd(block_rows, block_cols, interpret, store_h, res, dout):
         jax.ShapeDtypeStruct((rows_pad, 1), jnp.float32),
     ]
     if store_h:
+        # measured on the real chip (r4, flagship b256): split=1 2070
+        # pairs/s, split=2 2059, split=4 1853 — Mosaic already overlaps
+        # the VPU GEGLU/LN backward with the dots at the full tile, and
+        # sub-tiling only shrinks the MXU dots. Keep 1; knob retained for
+        # other shapes.
         row_split = int(os.environ.get("XCLIP_FF_P1_SPLIT", "1"))
         if block_rows % row_split != 0:
             row_split = 1
