@@ -181,8 +181,12 @@ def _mega_ref(x, g_pre, w_qkv, w_out, g_out, mask, heads, d, scale, causal):
     return x + layer_norm_apply({"g": g_out}, out @ w_out)
 
 
+@pytest.mark.parametrize("store_qkv", [False, True])
 @pytest.mark.parametrize("causal", [False, True])
-def test_attention_megablock_matches_xla(causal):
+def test_attention_megablock_matches_xla(causal, store_qkv):
+    """store_qkv=True additionally exercises the forward-stored residuals
+    (qkv/attnout/proj + the fp32 row-stats tensor whose stored softmax
+    max/normalizer and LN mean/inv replace the backward's reductions)."""
     from xclip_tpu.kernels.attention_megablock import attention_block
 
     npr = np.random.RandomState(2)
@@ -196,13 +200,15 @@ def test_attention_megablock_matches_xla(causal):
     scale = d ** -0.5
 
     args = (x, g_pre, w_qkv, w_out, g_out, mask)
-    out_k = attention_block(*args, heads, d, scale, causal)
+    out_k = attention_block(*args, heads, d, scale, causal, None, True,
+                            store_qkv)
     out_r = _mega_ref(*args, heads, d, scale, causal)
     np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
                                atol=5e-5)
 
     gk = jax.grad(lambda a: (attention_block(*a, mask, heads, d, scale,
-                                             causal) ** 2).sum())(args[:5])
+                                             causal, None, True,
+                                             store_qkv) ** 2).sum())(args[:5])
     gr = jax.grad(lambda a: (_mega_ref(*a, mask, heads, d, scale,
                                        causal) ** 2).sum())(args[:5])
     for name, ka, ra in zip(["dx", "dg_pre", "dw_qkv", "dw_out", "dg_out"],
@@ -212,10 +218,13 @@ def test_attention_megablock_matches_xla(causal):
         assert rel < 5e-4, (name, rel)
 
 
-def test_fully_masked_row_matches_xla_semantics():
+@pytest.mark.parametrize("store_qkv", [False, True])
+def test_fully_masked_row_matches_xla_semantics(store_qkv):
     """An all-padding caption (all-False mask row) must produce the same
     output and grads as the XLA path, which softmaxes a constant
-    -finfo.max row into UNIFORM attention (not zeros)."""
+    -finfo.max row into UNIFORM attention (not zeros) — in both backward
+    variants (the stored one reconstructs dead-row p from the stored
+    m=0 / l=n_real stats)."""
     from xclip_tpu.kernels.attention_megablock import attention_block
 
     npr = np.random.RandomState(3)
@@ -228,13 +237,14 @@ def test_fully_masked_row_matches_xla_semantics():
     scale = d ** -0.5
 
     out_k = attention_block(x, g, w_qkv, w_out, g, mask, heads, d, scale,
-                            False)
+                            False, None, True, store_qkv)
     out_r = _mega_ref(x, g, w_qkv, w_out, g, mask, heads, d, scale, False)
     np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
                                atol=5e-5)
 
     gk = jax.grad(lambda q: (attention_block(q, g, w_qkv, w_out, g, mask,
-                                             heads, d, scale, False) ** 2
+                                             heads, d, scale, False, None,
+                                             True, store_qkv) ** 2
                              ).sum())(x)
     gr = jax.grad(lambda q: (_mega_ref(q, g, w_qkv, w_out, g, mask, heads,
                                        d, scale, False) ** 2).sum())(x)

@@ -75,6 +75,7 @@ def supported(heads: int, dim_head: int, dim: int, n_pad: int,
         dw = inner * dim * 4                        # only dW_out stays
         qkv_tiles *= 2                              # both double-buffered
         qkv_tiles += 4 * n_pad * dim * itemsize     # attnout + proj inputs
+        qkv_tiles += 2 * n_pad * (2 * heads + 4) * 4  # fp32 row stats
     # partial-block DMA bookkeeping measured ~0.4MB beyond the tile
     # arithmetic ON THE STORED-BACKWARD variant (it compiled at 16.16M when
     # this estimated 15.75M) — margin applies only there: the recompute
@@ -122,11 +123,23 @@ def _dead_rows(mask_row, causal, n_rows, n_real):
 
 
 def _fwd_common(x, gpre32, wqkv, mask_row, scale, causal, heads, dim_head,
-                n_rows, eps, n_real, maybe_dead, qkv=None, need_o=True):
+                n_rows, eps, n_real, maybe_dead, qkv=None, need_o=True,
+                stats=None, collect_stats=False):
     """Shared fwd recompute: returns (xhat_pre, inv_pre, xn, qkv,
-    per-head (q, k, v, p, o) list, attnout, dead, row_valid). When `qkv` is
-    given (forward-stored variant), the LN stats are still derived from x
-    but the xn@w_qkv dot is skipped and xn is returned as None.
+    per-head (q, k, v, p, o) list, attnout, dead, row_valid, stats_parts).
+    When `qkv` is given (forward-stored variant), the xn@w_qkv dot is
+    skipped and xn is returned as None.
+
+    `stats` (fp32 (n_rows, 2·heads+4), the forward-stored row statistics —
+    cols [0:h) per-head softmax max m, [h:2h) normalizer l, then mean_pre /
+    inv_pre / mean_o / inv_o): every VPU row REDUCTION (softmax max+sum,
+    pre-LN mean/var) is replaced by elementwise reuse of the stored value —
+    p = exp(s−m)/l and xhat = (x−mean)·inv are bitwise the forward's.
+    Garbage rows (partial-block DMA beyond n_real) are sanitized to
+    neutral (m=0, l=1, mean=0, inv=1) so they stay finite; their dqkv/dx
+    rows are provably zero (do/qkv are zeroed) and never written anyway.
+    `collect_stats` makes the fresh-compute path also return
+    (mean_pre, inv_pre, ms, ls) for the forward to store.
 
     The kernel runs on UNPADDED (b, n, dim) arrays with an n_pad-sized
     block: rows/cols in [n_real, n_rows) hold whatever the partial-block
@@ -140,7 +153,24 @@ def _fwd_common(x, gpre32, wqkv, mask_row, scale, causal, heads, dim_head,
     # garbage rows (one where instead of two — the bwd kernel sits ~150K
     # from the scoped-VMEM limit at the flagship shape)
     x32 = jnp.where(row_valid, x[:n_rows].astype(jnp.float32), 0.0)
-    xn32, xhat_pre, inv_pre = _ln_fp32(x32, gpre32, eps)
+    if stats is not None:
+        mean_pre = jnp.where(row_valid, stats[:, 2 * heads:2 * heads + 1],
+                             0.0)
+        inv_pre = jnp.where(row_valid, stats[:, 2 * heads + 1:2 * heads + 2],
+                            1.0)
+        xhat_pre = (x32 - mean_pre) * inv_pre
+        xn32 = None
+    elif collect_stats:
+        # inline _ln_fp32 (same op sequence, bit-identical) to also keep
+        # the mean for storage
+        mean_pre = jnp.mean(x32, axis=-1, keepdims=True)
+        c_pre = x32 - mean_pre
+        var_pre = jnp.mean(c_pre * c_pre, axis=-1, keepdims=True)
+        inv_pre = jax.lax.rsqrt(var_pre + eps)
+        xhat_pre = c_pre * inv_pre
+        xn32 = xhat_pre * gpre32
+    else:
+        xn32, xhat_pre, inv_pre = _ln_fp32(x32, gpre32, eps)
     if qkv is None:
         xn = xn32.astype(x.dtype)
         qkv = _dot(xn, wqkv).astype(x.dtype)      # (n_rows, 3·h·d)
@@ -154,27 +184,44 @@ def _fwd_common(x, gpre32, wqkv, mask_row, scale, causal, heads, dim_head,
     if maybe_dead:
         dead, uniform = _dead_rows(mask_row, causal, n_rows, n_real)
     hd = heads * dim_head
+    if stats is not None:
+        sm_m = jnp.where(row_valid, stats[:, 0:heads], 0.0)
+        sm_l = jnp.where(row_valid, stats[:, heads:2 * heads], 1.0)
     po = []
+    ms, ls = [], []
     for h in range(heads):
         q = qkv[:, h * dim_head:(h + 1) * dim_head]
         k = qkv[:, hd + h * dim_head:hd + (h + 1) * dim_head]
         v = qkv[:, 2 * hd + h * dim_head:2 * hd + (h + 1) * dim_head]
         s = _masked_scores(q, k, mask_row, scale, causal)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        if maybe_dead:
-            m = jnp.where(dead, 0.0, m)
-            p = jnp.where(dead, uniform, jnp.exp(s - m))
+        if stats is not None:
+            m = sm_m[:, h:h + 1]
+            if maybe_dead:
+                p = jnp.where(dead, uniform, jnp.exp(s - m))
+            else:
+                p = jnp.exp(s - m)
+            p = p / sm_l[:, h:h + 1]
         else:
-            p = jnp.exp(s - m)
-        l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
-        p = p / l
+            m = jnp.max(s, axis=-1, keepdims=True)
+            if maybe_dead:
+                m = jnp.where(dead, 0.0, m)
+                p = jnp.where(dead, uniform, jnp.exp(s - m))
+            else:
+                p = jnp.exp(s - m)
+            l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+            p = p / l
+            if collect_stats:
+                ms.append(m)
+                ls.append(l)
         # need_o=False: caller reads the forward-stored attnout, so the
         # p@v dots are skipped entirely
         o = _dot(p.astype(v.dtype), v) if need_o else None
         po.append((q, k, v, p, o))
     attnout = (jnp.concatenate([o for (_, _, _, _, o) in po],
                                axis=-1).astype(x.dtype) if need_o else None)
-    return xhat_pre, inv_pre, xn, qkv, po, attnout, dead, row_valid
+    stats_parts = (mean_pre, inv_pre, ms, ls) if collect_stats else None
+    return (xhat_pre, inv_pre, xn, qkv, po, attnout, dead, row_valid,
+            stats_parts)
 
 
 def _fwd_kernel(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref, mask_ref,
@@ -184,7 +231,7 @@ def _fwd_kernel(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref, mask_ref,
     gpre32 = gpre_ref[...].astype(jnp.float32)
     gout32 = gout_ref[...].astype(jnp.float32)
 
-    _, _, _, _, po, attnout, _, _ = _fwd_common(
+    _, _, _, _, po, attnout, _, _, _ = _fwd_common(
         x, gpre32, wqkv_ref[...], mask_ref[0], scale, causal, heads,
         dim_head, n_rows, eps, n_real, maybe_dead)
 
@@ -195,39 +242,51 @@ def _fwd_kernel(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref, mask_ref,
 
 def _fwd_kernel_stored(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref,
                        mask_ref, o_ref, qkv_ref, attnout_ref, proj_ref,
-                       *, scale, causal, heads,
+                       stats_ref, *, scale, causal, heads,
                        dim_head, n_rows, eps, n_real, maybe_dead):
     """Forward that also emits the fused qkv tensor, the concatenated
-    attention output, and the pre-LN projection (all storage dtype) so the
-    backward skips the LN + xn@w_qkv, per-head p@v, and attnout@w_out
-    recomputes."""
+    attention output, the pre-LN projection (all storage dtype), and the
+    fp32 row statistics (per-head softmax max/normalizer + both LN
+    mean/inv pairs) so the backward skips the LN + xn@w_qkv, per-head
+    p@v, and attnout@w_out recomputes AND every VPU row reduction."""
     x = x_ref[0]
     gpre32 = gpre_ref[...].astype(jnp.float32)
     gout32 = gout_ref[...].astype(jnp.float32)
 
-    _, _, _, qkv, po, attnout, _, _ = _fwd_common(
+    _, _, _, qkv, po, attnout, _, _, stats_parts = _fwd_common(
         x, gpre32, wqkv_ref[...], mask_ref[0], scale, causal, heads,
-        dim_head, n_rows, eps, n_real, maybe_dead)
+        dim_head, n_rows, eps, n_real, maybe_dead, collect_stats=True)
     qkv_ref[0, :n_rows] = qkv
     attnout_ref[0, :n_rows] = attnout
 
     proj = _dot(attnout, wout_ref[...])           # fp32 (n_rows, dim)
     proj_ref[0, :n_rows] = proj.astype(x.dtype)
-    y32, _, _ = _ln_fp32(proj, gout32, eps)
+    # inline _ln_fp32 (bit-identical op sequence) to keep mean_o/inv_o
+    mean_o = jnp.mean(proj, axis=-1, keepdims=True)
+    c_o = proj - mean_o
+    var_o = jnp.mean(c_o * c_o, axis=-1, keepdims=True)
+    inv_o = jax.lax.rsqrt(var_o + eps)
+    y32 = (c_o * inv_o) * gout32
     o_ref[0, :n_rows] = y32.astype(o_ref.dtype) + x[:n_rows]
+    mean_pre, inv_pre, ms, ls = stats_parts
+    stats_ref[0, :n_rows] = jnp.concatenate(
+        ms + ls + [mean_pre, inv_pre, mean_o, inv_o], axis=-1)
 
 
 def _bwd_kernel_stored(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref,
                        mask_ref, do_ref, qkv_ref, attnout_ref, proj_ref,
+                       stats_ref,
                        dx_ref, dqkv_ref, dwout_ref, dgpre_ref, dgout_ref,
                        *, scale, causal, heads, dim_head, n_rows, eps,
                        n_real, maybe_dead):
-    """Backward with the forward-stored qkv/attnout/proj: identical math to
-    _bwd_kernel but the attention inputs, per-head outputs, and projection
-    are read instead of recomputed, and dW_qkv is NOT accumulated here —
-    dqkv is emitted per batch element and the caller computes
-    dW_qkv = LN(x)^T @ dqkv as one large XLA matmul (freeing the 3MB fp32
-    accumulator that made the two variants mutually exclusive in VMEM)."""
+    """Backward with the forward-stored qkv/attnout/proj/stats: identical
+    math to _bwd_kernel but the attention inputs, per-head outputs, and
+    projection are read instead of recomputed, every VPU row reduction
+    (softmax max/sum, LN mean/var) reuses the forward-stored fp32 value,
+    and dW_qkv is NOT accumulated here — dqkv is emitted per batch element
+    and the caller computes dW_qkv = LN(x)^T @ dqkv as one large XLA
+    matmul (freeing the 3MB fp32 accumulator that made the two variants
+    mutually exclusive in VMEM)."""
     b = pl.program_id(0)
 
     @pl.when(b == 0)
@@ -240,20 +299,21 @@ def _bwd_kernel_stored(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref,
     gpre32 = gpre_ref[...].astype(jnp.float32)
     gout32 = gout_ref[...].astype(jnp.float32)
     hd = heads * dim_head
+    stats32 = stats_ref[0][:n_rows]
 
-    xhat_pre, inv_pre, _, _, po, _, dead, row_valid = _fwd_common(
+    xhat_pre, inv_pre, _, _, po, _, dead, row_valid, _ = _fwd_common(
         x, gpre32, wqkv_ref[...], mask_ref[0], scale, causal, heads,
         dim_head, n_rows, eps, n_real, maybe_dead,
-        qkv=qkv_ref[0][:n_rows], need_o=False)
+        qkv=qkv_ref[0][:n_rows], need_o=False, stats=stats32)
     # garbage rows would poison every row-contracted accumulation
     attnout = jnp.where(row_valid, attnout_ref[0][:n_rows], 0)
     do = jnp.where(row_valid, do_ref[0][:n_rows].astype(jnp.float32), 0.0)
     proj = jnp.where(row_valid, proj_ref[0][:n_rows], 0).astype(jnp.float32)
-    mean_o = jnp.mean(proj, axis=-1, keepdims=True)
-    c_o = proj - mean_o
-    var_o = jnp.mean(c_o * c_o, axis=-1, keepdims=True)
-    inv_o = jax.lax.rsqrt(var_o + eps)
-    xhat_o = c_o * inv_o
+    mean_o = jnp.where(row_valid, stats32[:, 2 * heads + 2:2 * heads + 3],
+                       0.0)
+    inv_o = jnp.where(row_valid, stats32[:, 2 * heads + 3:2 * heads + 4],
+                      1.0)
+    xhat_o = (proj - mean_o) * inv_o
 
     dproj, dg_out = _ln_bwd(do, xhat_o, inv_o, gout32)
     dgout_ref[...] += dg_out
@@ -306,9 +366,10 @@ def _bwd_kernel(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref, mask_ref,
     gout32 = gout_ref[...].astype(jnp.float32)
     hd = heads * dim_head
 
-    xhat_pre, inv_pre, xn, qkv, po, attnout, dead, row_valid = _fwd_common(
-        x, gpre32, wqkv_ref[...], mask_ref[0], scale, causal, heads,
-        dim_head, n_rows, eps, n_real, maybe_dead)
+    xhat_pre, inv_pre, xn, qkv, po, attnout, dead, row_valid, _ = \
+        _fwd_common(
+            x, gpre32, wqkv_ref[...], mask_ref[0], scale, causal, heads,
+            dim_head, n_rows, eps, n_real, maybe_dead)
     # garbage do rows would poison every row-contracted accumulation
     do = jnp.where(row_valid, do_ref[0][:n_rows].astype(jnp.float32), 0.0)
     # re-derive out-LN stats from the recomputed projection
@@ -403,15 +464,18 @@ def _mega_fwd(x, g_pre, w_qkv, w_out, g_out, mask,
     kernel = _fwd_kernel_stored if store_qkv else _fwd_kernel
     out_specs = pl.BlockSpec((1, n_pad, dim), lambda i: (i, 0, 0))
     out_shape = jax.ShapeDtypeStruct((b, n, dim), x.dtype)
+    n_stats = 2 * heads + 4
     if store_qkv:
         out_specs = [out_specs,
                      pl.BlockSpec((1, n_pad, 3 * hd), lambda i: (i, 0, 0)),
                      pl.BlockSpec((1, n_pad, hd), lambda i: (i, 0, 0)),
-                     pl.BlockSpec((1, n_pad, dim), lambda i: (i, 0, 0))]
+                     pl.BlockSpec((1, n_pad, dim), lambda i: (i, 0, 0)),
+                     pl.BlockSpec((1, n_pad, n_stats), lambda i: (i, 0, 0))]
         out_shape = [out_shape,
                      jax.ShapeDtypeStruct((b, n, 3 * hd), x.dtype),
                      jax.ShapeDtypeStruct((b, n, hd), x.dtype),
-                     jax.ShapeDtypeStruct((b, n, dim), x.dtype)]
+                     jax.ShapeDtypeStruct((b, n, dim), x.dtype),
+                     jax.ShapeDtypeStruct((b, n, n_stats), jnp.float32)]
     res = pl.pallas_call(
         functools.partial(kernel, scale=scale, causal=causal,
                           heads=heads, dim_head=dim_head, n_rows=n_rows,
@@ -430,8 +494,8 @@ def _mega_fwd(x, g_pre, w_qkv, w_out, g_out, mask,
         interpret=interp,
     )(x_p, g_pre[None, :], w_qkv, w_out, g_out[None, :], key_valid)
     if store_qkv:
-        out, qkv, attnout, proj = res
-        return out, (x_p, key_valid, (qkv, attnout, proj))
+        out, qkv, attnout, proj, stats = res
+        return out, (x_p, key_valid, (qkv, attnout, proj, stats))
     return res, (x_p, key_valid, None)
 
 
@@ -469,13 +533,15 @@ def _mega_bwd_vjp(heads, dim_head, scale, causal, interpret, maybe_dead,
     args = [x_p, g_pre[None, :], w_qkv, w_out, g_out[None, :], key_valid,
             do_p]
     if store_qkv:
-        qkv, attnout, proj = qkv
+        qkv, attnout, proj, stats = qkv
+        n_stats = 2 * heads + 4
         in_specs += [
             pl.BlockSpec((1, n_pad, 3 * hd), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, n_pad, hd), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, n_pad, dim), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, n_pad, n_stats), lambda i: (i, 0, 0)),
         ]
-        args += [qkv, attnout, proj]
+        args += [qkv, attnout, proj, stats]
         dx, dqkv, dwout, dgpre, dgout = pl.pallas_call(
             functools.partial(_bwd_kernel_stored, scale=scale, causal=causal,
                               heads=heads, dim_head=dim_head, n_rows=n_rows,
