@@ -126,32 +126,53 @@ def _ff_block_fwd_call(x2, g_pre, w_in, g_inner, w_out, block_rows, interpret):
 
 
 def _fwd_store_core(x, gpre, win, gin, wout, eps_pre, eps_in):
-    """Stored-forward math on one 2D tile: returns (out, h) in x.dtype."""
+    """Stored-forward math on one 2D tile: returns (out, h) in x.dtype plus
+    the fp32 per-row LN statistics (mean_pre, inv_pre, mean_in, inv_in) —
+    both LayerNorms' mean and rsqrt(var+eps), stored so the backward passes
+    replace every row REDUCTION that does not depend on the cotangent
+    (pre-LN mean/var of x, inner-LN mean/var of the GEGLU product) with an
+    elementwise (v − mean)·inv reuse of the forward's exact value."""
     x32 = x.astype(jnp.float32)
-    xn32, _, _ = _ln_fp32(x32, gpre.astype(jnp.float32), eps_pre)
-    xn = xn32.astype(x.dtype)
+    gpre32 = gpre.astype(jnp.float32)
+    # inline _ln_fp32 (bit-identical op sequence) to also keep the means
+    mean_pre = jnp.mean(x32, axis=-1, keepdims=True)
+    c_pre = x32 - mean_pre
+    var_pre = jnp.mean(c_pre * c_pre, axis=-1, keepdims=True)
+    inv_pre = jax.lax.rsqrt(var_pre + eps_pre)
+    xn = ((c_pre * inv_pre) * gpre32).astype(x.dtype)
 
     h = jax.lax.dot_general(xn, win, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     inner = h.shape[-1] // 2
     a, b = h[:, :inner], h[:, inner:]
     prod = a * _gelu_exact(b)
-    y32, _, _ = _ln_fp32(prod, gin.astype(jnp.float32), eps_in)
-    y = y32.astype(x.dtype)
+    mean_in = jnp.mean(prod, axis=-1, keepdims=True)
+    c_in = prod - mean_in
+    var_in = jnp.mean(c_in * c_in, axis=-1, keepdims=True)
+    inv_in = jax.lax.rsqrt(var_in + eps_in)
+    y = ((c_in * inv_in) * gin.astype(jnp.float32)).astype(x.dtype)
 
     out = jax.lax.dot_general(y, wout, (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    return out.astype(x.dtype) + x, h.astype(x.dtype)
+    return (out.astype(x.dtype) + x, h.astype(x.dtype),
+            mean_pre, inv_pre, mean_in, inv_in)
 
 
 def _fwd_kernel_store(x_ref, gpre_ref, win_ref, gin_ref, wout_ref,
-                      o_ref, h_ref, *, eps_pre, eps_in):
-    """Forward that also emits h = LN(x)@w_in (storage dtype) for a
-    recompute-free backward."""
-    out, h = _fwd_store_core(x_ref[...], gpre_ref[...], win_ref[...],
-                             gin_ref[...], wout_ref[...], eps_pre, eps_in)
+                      o_ref, h_ref, mp_ref, ip_ref, mi_ref, ii_ref,
+                      *, eps_pre, eps_in):
+    """Forward that also emits h = LN(x)@w_in (storage dtype) and the four
+    fp32 per-row LN statistics for a recompute-free, reduction-free
+    backward."""
+    out, h, mp, ip, mi, ii = _fwd_store_core(
+        x_ref[...], gpre_ref[...], win_ref[...], gin_ref[...], wout_ref[...],
+        eps_pre, eps_in)
     o_ref[...] = out
     h_ref[...] = h
+    mp_ref[...] = mp
+    ip_ref[...] = ip
+    mi_ref[...] = mi
+    ii_ref[...] = ii
 
 
 def _ff_block_fwd_store_call(x2, g_pre, w_in, g_inner, w_out, block_rows,
@@ -162,6 +183,8 @@ def _ff_block_fwd_store_call(x2, g_pre, w_in, g_inner, w_out, block_rows,
     eps = _eps_for(x2.dtype)
     nb = rows // block_rows
 
+    row_vec = lambda: pl.BlockSpec((block_rows, 1), lambda i: (i, 0))
+    stat_shape = lambda: jax.ShapeDtypeStruct((rows, 1), jnp.float32)
     return pl.pallas_call(
         functools.partial(_fwd_kernel_store, eps_pre=eps, eps_in=eps),
         grid=(nb,),
@@ -175,10 +198,12 @@ def _ff_block_fwd_store_call(x2, g_pre, w_in, g_inner, w_out, block_rows,
         out_specs=[
             pl.BlockSpec((block_rows, d), lambda i: (i, 0)),
             pl.BlockSpec((block_rows, two_inner), lambda i: (i, 0)),
+            row_vec(), row_vec(), row_vec(), row_vec(),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((rows, d), x2.dtype),
             jax.ShapeDtypeStruct((rows, two_inner), x2.dtype),
+            stat_shape(), stat_shape(), stat_shape(), stat_shape(),
         ],
         interpret=interpret,
     )(x2, g_pre[None, :], w_in, g_inner[None, :], w_out)
@@ -259,26 +284,26 @@ def _bwd_dx_kernel(x_ref, gpre_ref, win_ref, gin_ref, wout_ref, do_ref,
         dgin_ref[...] = dgin_scr[...]
 
 
-def _p1_stored_core(x, do, gpre, gin, win, wout, h_raw, eps_pre, eps_in):
+def _p1_stored_core(x, do, gpre, gin, win, wout, h_raw, mp, ip, mi, ii):
     """Stored pass-1 math on one 2D tile. Returns
-    (dx, mean, inv, m1, m2, dprod_cast, dgpre_tile, dgin_tile)."""
+    (dx, dprod_cast, dgpre_tile, dgin_tile). `mp/ip/mi/ii` are the
+    forward-stored per-row LN statistics: both LayerNorms' normalized
+    activations become elementwise (v − mean)·inv — the only row
+    reductions left are the four that contract the cotangent (m1/m2,
+    p1/p2) and the two column-contracted dg sums."""
     do32 = do.astype(jnp.float32)
     gpre32 = gpre.astype(jnp.float32)
     gin32 = gin.astype(jnp.float32)
 
     x32 = x.astype(jnp.float32)
-    _, xhat_pre, inv_pre = _ln_fp32(x32, gpre32, eps_pre)
+    xhat_pre = (x32 - mp) * ip
 
     h = h_raw.astype(jnp.float32)
     inner = h.shape[-1] // 2
     a, b = h[:, :inner], h[:, inner:]
     gelu_b, gelu_db = _gelu_val_grad(b)
     prod = a * gelu_b
-    mean_in = jnp.mean(prod, axis=-1, keepdims=True)
-    c = prod - mean_in
-    var_in = jnp.mean(c * c, axis=-1, keepdims=True)
-    inv_in = jax.lax.rsqrt(var_in + eps_in)
-    xhat_in = c * inv_in
+    xhat_in = (prod - mi) * ii
 
     dy = jax.lax.dot_general(do, wout, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
@@ -287,7 +312,7 @@ def _p1_stored_core(x, do, gpre, gin, win, wout, h_raw, eps_pre, eps_in):
     dyg = dy * gin32
     m1 = jnp.mean(dyg, axis=-1, keepdims=True)
     m2 = jnp.mean(dyg * xhat_in, axis=-1, keepdims=True)
-    dprod = inv_in * (dyg - m1 - xhat_in * m2)
+    dprod = ii * (dyg - m1 - xhat_in * m2)
 
     da = dprod * gelu_b
     db = dprod * a * gelu_db
@@ -300,21 +325,21 @@ def _p1_stored_core(x, do, gpre, gin, win, wout, h_raw, eps_pre, eps_in):
     dyg2 = dxn * gpre32
     p1 = jnp.mean(dyg2, axis=-1, keepdims=True)
     p2 = jnp.mean(dyg2 * xhat_pre, axis=-1, keepdims=True)
-    dx = inv_pre * (dyg2 - p1 - xhat_pre * p2) + do32
-    return (dx.astype(x.dtype), mean_in, inv_in, m1, m2,
-            dprod.astype(x.dtype), dgpre_tile, dgin_tile)
+    dx = ip * (dyg2 - p1 - xhat_pre * p2) + do32
+    return (dx.astype(x.dtype), dprod.astype(x.dtype),
+            dgpre_tile, dgin_tile)
 
 
 def _bwd_dx_kernel_stored(x_ref, gpre_ref, win_ref, gin_ref, wout_ref,
-                          do_ref, h_ref,
-                          dx_ref, mean_ref, inv_ref, m1_ref, m2_ref,
-                          dprod_ref, dgpre_ref, dgin_ref,
-                          dgpre_scr, dgin_scr, *, eps_pre, eps_in,
-                          num_blocks, row_split=1):
-    """Pass 1 with the forward-stored h: identical math to _bwd_dx_kernel
-    but the x@w_in recompute is replaced by a read of h. Also emits dprod
-    (storage dtype) so pass 2 can skip the dy = do@w_out^T dot and the
-    inner-LN backward entirely.
+                          do_ref, h_ref, mp_ref, ip_ref, mi_ref, ii_ref,
+                          dx_ref, dprod_ref, dgpre_ref, dgin_ref,
+                          dgpre_scr, dgin_scr, *, num_blocks, row_split=1):
+    """Pass 1 with the forward-stored h and LN statistics: identical math
+    to _bwd_dx_kernel but the x@w_in recompute is replaced by a read of h
+    and every cotangent-independent row reduction (pre-LN mean/var of x,
+    inner-LN mean/var of the GEGLU product) by an elementwise reuse of
+    the stored mean/inv. Also emits dprod (storage dtype) so pass 2 can
+    skip the dy = do@w_out^T dot and the inner-LN backward entirely.
 
     `row_split` > 1 computes the tile in that many independent row slices:
     each row's math is self-contained, and splitting breaks the tile's
@@ -333,15 +358,11 @@ def _bwd_dx_kernel_stored(x_ref, gpre_ref, win_ref, gin_ref, wout_ref,
     step = rows // row_split
     for s in range(row_split):
         sl = slice(s * step, (s + 1) * step)
-        (dx, mean_in, inv_in, m1, m2, dprod, dgpre_t, dgin_t) = \
-            _p1_stored_core(
-                x_ref[sl], do_ref[sl], gpre_ref[...], gin_ref[...],
-                win_ref[...], wout_ref[...], h_ref[sl], eps_pre, eps_in)
+        dx, dprod, dgpre_t, dgin_t = _p1_stored_core(
+            x_ref[sl], do_ref[sl], gpre_ref[...], gin_ref[...],
+            win_ref[...], wout_ref[...], h_ref[sl],
+            mp_ref[sl], ip_ref[sl], mi_ref[sl], ii_ref[sl])
         dx_ref[sl] = dx
-        mean_ref[sl] = mean_in
-        inv_ref[sl] = inv_in
-        m1_ref[sl] = m1
-        m2_ref[sl] = m2
         dprod_ref[sl] = dprod
         dgpre_scr[...] += dgpre_t
         dgin_scr[...] += dgin_t
@@ -413,15 +434,16 @@ def _bwd_dw_kernel(x_ref, gpre_ref, wina_ref, winb_ref, gin_ref, wout_ref,
 
 
 def _p2_stored_core(x, do, gpre, gin_slice, ha, hb, dprod_raw,
-                    mean_in, inv_in, eps_pre):
+                    mean_in, inv_in, mean_pre, inv_pre):
     """Stored pass-2 math on one (rows × column-slice) tile: returns the
-    (dwina, dwinb, dwout) contributions of this row block."""
+    (dwina, dwinb, dwout) contributions of this row block. The pre-LN is
+    an elementwise reuse of the forward-stored mean_pre/inv_pre — without
+    it this kernel re-reduced the x tile once per COLUMN block (×ncb)."""
     gpre32 = gpre.astype(jnp.float32)
     gin32 = gin_slice.astype(jnp.float32)
 
     x32 = x.astype(jnp.float32)
-    xn32, _, _ = _ln_fp32(x32, gpre32, eps_pre)
-    xn = xn32.astype(x.dtype)
+    xn = (((x32 - mean_pre) * inv_pre) * gpre32).astype(x.dtype)
 
     a = ha.astype(jnp.float32)
     b = hb.astype(jnp.float32)
@@ -446,15 +468,15 @@ def _p2_stored_core(x, do, gpre, gin_slice, ha, hb, dprod_raw,
 
 def _bwd_dw_kernel_stored(x_ref, gpre_ref, gin_ref, do_ref,
                           ha_ref, hb_ref, dprod_ref,
-                          mean_ref, inv_ref,
+                          mean_ref, inv_ref, mp_ref, ip_ref,
                           dwina_ref, dwinb_ref, dwout_ref,
                           dwina_scr, dwinb_scr, dwout_scr,
-                          *, eps_pre, num_row_blocks):
-    """Pass 2 with the forward-stored h and pass-1-stored dprod: the
-    per-column-block a/b recompute (two x@w_in slices) becomes reads of h's
-    column slices, the dy = do@w_out^T dot and inner-LN backward become a
-    read of dprod, and xn is an elementwise LN recompute of the x tile —
-    leaving only the three dW dots as matmul work."""
+                          *, num_row_blocks):
+    """Pass 2 with the forward-stored h, LN statistics, and pass-1-stored
+    dprod: the per-column-block a/b recompute (two x@w_in slices) becomes
+    reads of h's column slices, the dy = do@w_out^T dot and inner-LN
+    backward become a read of dprod, and xn is an ELEMENTWISE stored-stat
+    LN of the x tile — leaving only the three dW dots as matmul work."""
     r = pl.program_id(1)
 
     @pl.when(r == 0)
@@ -466,7 +488,7 @@ def _bwd_dw_kernel_stored(x_ref, gpre_ref, gin_ref, do_ref,
     dwina, dwinb, dwout = _p2_stored_core(
         x_ref[...], do_ref[...], gpre_ref[...], gin_ref[...],
         ha_ref[...], hb_ref[...], dprod_ref[...],
-        mean_ref[...], inv_ref[...], eps_pre)
+        mean_ref[...], inv_ref[...], mp_ref[...], ip_ref[...])
     dwina_scr[...] += dwina
     dwinb_scr[...] += dwinb
     dwout_scr[...] += dwout
@@ -542,18 +564,22 @@ def _ff_block_fwd(x, g_pre, w_in, g_inner, w_out,
     block_rows, block_cols = _clamp_blocks(x, w_in, block_rows, block_cols)
     x2, rows, lead = _flatten_pad(x, block_rows)
     if store_h:
-        out, h2 = _ff_block_fwd_store_call(x2, g_pre, w_in, g_inner, w_out,
-                                           block_rows, interpret)
-        # h stays flat-padded: the backward re-pads x to the same layout
+        out, h2, mp, ip, mi, ii = _ff_block_fwd_store_call(
+            x2, g_pre, w_in, g_inner, w_out, block_rows, interpret)
+        # h/stats stay flat-padded: the backward re-pads x to the same layout
         return (out[:rows].reshape(x.shape),
-                (x, g_pre, w_in, g_inner, w_out, h2))
+                (x, g_pre, w_in, g_inner, w_out, (h2, mp, ip, mi, ii)))
     out = _ff_block_fwd_call(x2, g_pre, w_in, g_inner, w_out,
                              block_rows, interpret)
     return out[:rows].reshape(x.shape), (x, g_pre, w_in, g_inner, w_out, None)
 
 
 def _ff_block_bwd(block_rows, block_cols, interpret, store_h, res, dout):
-    x, g_pre, w_in, g_inner, w_out, h2 = res
+    x, g_pre, w_in, g_inner, w_out, stored = res
+    if store_h:
+        h2, f_mp, f_ip, f_mi, f_ii = stored
+    else:
+        h2 = None
     interpret = _resolve_interpret(interpret)
     block_rows, block_cols = _clamp_blocks(x, w_in, block_rows, block_cols)
     fwd_block_rows = block_rows
@@ -596,17 +622,8 @@ def _ff_block_bwd(block_rows, block_cols, interpret, store_h, res, dout):
         pl.BlockSpec((block_rows, d), lambda i: (i, 0)),
     ]
     dx_args = [x2, g_pre[None, :], w_in, g_inner[None, :], w_out, do2]
-    dx_out_specs = [
-        pl.BlockSpec((block_rows, d), lambda i: (i, 0)),
-        row_vec(), row_vec(), row_vec(), row_vec(),
-    ]
-    dx_out_shape = [
-        jax.ShapeDtypeStruct((rows_pad, d), x.dtype),
-        jax.ShapeDtypeStruct((rows_pad, 1), jnp.float32),
-        jax.ShapeDtypeStruct((rows_pad, 1), jnp.float32),
-        jax.ShapeDtypeStruct((rows_pad, 1), jnp.float32),
-        jax.ShapeDtypeStruct((rows_pad, 1), jnp.float32),
-    ]
+    dx_out_specs = [pl.BlockSpec((block_rows, d), lambda i: (i, 0))]
+    dx_out_shape = [jax.ShapeDtypeStruct((rows_pad, d), x.dtype)]
     if store_h:
         # measured on the real chip (r4, flagship b256): split=1 2070
         # pairs/s, split=2 2059, split=4 1853 — Mosaic already overlaps
@@ -616,18 +633,23 @@ def _ff_block_bwd(block_rows, block_cols, interpret, store_h, res, dout):
         row_split = int(os.environ.get("XCLIP_FF_P1_SPLIT", "1"))
         if block_rows % row_split != 0:
             row_split = 1
-        kernel1 = functools.partial(_bwd_dx_kernel_stored, eps_pre=eps,
-                                    eps_in=eps, num_blocks=nb,
+        kernel1 = functools.partial(_bwd_dx_kernel_stored, num_blocks=nb,
                                     row_split=row_split)
-        dx_in_specs.append(
-            pl.BlockSpec((block_rows, two_inner), lambda i: (i, 0)))
-        dx_args.append(h2)
-        # extra output: dprod for the dW pass
+        dx_in_specs += [
+            pl.BlockSpec((block_rows, two_inner), lambda i: (i, 0)),
+            row_vec(), row_vec(), row_vec(), row_vec(),
+        ]
+        dx_args += [h2, f_mp, f_ip, f_mi, f_ii]
+        # extra output: dprod for the dW pass (no per-row stats to emit —
+        # pass 2 reads the forward-stored ones)
         dx_out_specs.append(pl.BlockSpec((block_rows, inner), lambda i: (i, 0)))
         dx_out_shape.append(jax.ShapeDtypeStruct((rows_pad, inner), x.dtype))
     else:
         kernel1 = functools.partial(_bwd_dx_kernel, eps_pre=eps, eps_in=eps,
                                     num_blocks=nb)
+        dx_out_specs += [row_vec(), row_vec(), row_vec(), row_vec()]
+        dx_out_shape += [jax.ShapeDtypeStruct((rows_pad, 1), jnp.float32)
+                         for _ in range(4)]
     dx_out_specs += [
         pl.BlockSpec((1, d), lambda i: (0, 0)),
         pl.BlockSpec((1, inner), lambda i: (0, 0)),
@@ -649,7 +671,9 @@ def _ff_block_bwd(block_rows, block_cols, interpret, store_h, res, dout):
         interpret=interpret,
     )(*dx_args)
     if store_h:
-        dx, s_mean, s_inv, s_m1, s_m2, dprod2, dgpre, dgin = outs
+        dx, dprod2, dgpre, dgin = outs
+        s_mean, s_inv = f_mi, f_ii
+        s_m1 = s_m2 = None
     else:
         dx, s_mean, s_inv, s_m1, s_m2, dgpre, dgin = outs
         dprod2 = None
@@ -689,8 +713,7 @@ def _ff_block_bwd(block_rows, block_cols, interpret, store_h, res, dout):
     ]
     if store_h:
         dwina, dwinb, dwout = pl.pallas_call(
-            functools.partial(_bwd_dw_kernel_stored, eps_pre=eps,
-                              num_row_blocks=nb2),
+            functools.partial(_bwd_dw_kernel_stored, num_row_blocks=nb2),
             grid=(ncb, nb2),
             in_specs=[
                 pl.BlockSpec((block_rows2, d), lambda j, r: (r, 0)),
@@ -702,14 +725,14 @@ def _ff_block_bwd(block_rows, block_cols, interpret, store_h, res, dout):
                 pl.BlockSpec((block_rows2, block_cols),
                              lambda j, r: (r, j + ncb)),
                 pl.BlockSpec((block_rows2, block_cols), lambda j, r: (r, j)),
-                stat_vec(), stat_vec(),
+                stat_vec(), stat_vec(), stat_vec(), stat_vec(),
             ],
             out_specs=dw_out_specs,
             out_shape=dw_out_shape,
             scratch_shapes=dw_scratch,
             interpret=interpret,
         )(x2, g_pre[None, :], g_inner[None, :], do2, h2, h2, dprod2,
-          s_mean, s_inv)
+          s_mean, s_inv, f_mp, f_ip)
     else:
         w_in_a, w_in_b = w_in[:, :inner], w_in[:, inner:]
         dwina, dwinb, dwout = pl.pallas_call(
