@@ -569,8 +569,12 @@ def _mega_bwd_vjp(heads, dim_head, scale, causal, interpret, maybe_dead,
         # leak garbage into dqkv). The (b, n) pair contracts IN the dot:
         # a reshape(-1, dim) first would be a physical relayout copy
         # (n=257 is not sublane-aligned) costing ~10 ms/step at b256.
+        # The pre-LN is elementwise from the forward-stored stats (bitwise
+        # the kernel's mean/inv) — no XLA re-reduction over x.
         gpre32 = g_pre.astype(jnp.float32)
-        xn, _, _ = _ln_fp32(x_p.astype(jnp.float32), gpre32, eps)
+        mean_pre = stats[..., 2 * heads:2 * heads + 1]
+        inv_pre = stats[..., 2 * heads + 1:2 * heads + 2]
+        xn = ((x_p.astype(jnp.float32) - mean_pre) * inv_pre) * gpre32
         dwqkv = jax.lax.dot_general(
             xn.astype(x_p.dtype), dqkv,
             (((0, 1), (0, 1)), ((), ())),
