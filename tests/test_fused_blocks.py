@@ -44,6 +44,7 @@ def test_ff_block_forward_matches_xla():
                                atol=2e-4)
 
 
+@pytest.mark.fast
 def test_ff_block_grads_match_autodiff():
     args = _ff_args()
     gk = jax.grad(lambda a: (ff_block(*a, 16, 64) ** 2).sum())(args)
@@ -64,6 +65,24 @@ def test_ff_block_stored_h_matches_xla():
     np.testing.assert_allclose(np.asarray(out_k), np.asarray(_ff_ref(*args)),
                                atol=2e-4)
     gk = jax.grad(lambda a: (ff_block(*a, 16, 64, None, True) ** 2).sum())(args)
+    gr = jax.grad(lambda a: (_ff_ref(*a) ** 2).sum())(args)
+    for name, a, b in zip(["dx", "dg_pre", "dw_in", "dg_inner", "dw_out"],
+                          gk, gr):
+        rel = float(jnp.max(jnp.abs(a - b))) / (
+            float(jnp.max(jnp.abs(b))) + 1e-9)
+        assert rel < 5e-4, (name, rel)
+
+
+@pytest.mark.fast
+def test_ff_block_stored_geglu_matches_xla():
+    """store_h='geglu' stores the GEGLU triple (prod, gelu(b), a·gelu'(b))
+    instead of h — both backward passes lose their transcendentals; forward
+    and every gradient must still match the XLA reference."""
+    args = _ff_args()
+    out_k = ff_block(*args, 16, 64, None, "geglu")
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(_ff_ref(*args)),
+                               atol=2e-4)
+    gk = jax.grad(lambda a: (ff_block(*a, 16, 64, None, "geglu") ** 2).sum())(args)
     gr = jax.grad(lambda a: (_ff_ref(*a) ** 2).sum())(args)
     for name, a, b in zip(["dx", "dg_pre", "dw_in", "dg_inner", "dw_out"],
                           gk, gr):

@@ -71,11 +71,11 @@ def supported(heads: int, dim_head: int, dim: int, n_pad: int,
     row_tiles = 6 * n_pad * dim * itemsize          # x/do/dx double-buffered
     qkv_tiles = 2 * n_pad * 3 * inner * itemsize    # qkv + dqkv
     f32_tmp = 5 * n_pad * dim * 4 + 2 * n_pad * n_pad * 4
+    f32_tmp += 2 * n_pad * (2 * heads + 4) * 4      # fp32 row stats input
     if store_qkv:
         dw = inner * dim * 4                        # only dW_out stays
         qkv_tiles *= 2                              # both double-buffered
         qkv_tiles += 4 * n_pad * dim * itemsize     # attnout + proj inputs
-        qkv_tiles += 2 * n_pad * (2 * heads + 4) * 4  # fp32 row stats
     # partial-block DMA bookkeeping measured ~0.4MB beyond the tile
     # arithmetic ON THE STORED-BACKWARD variant (it compiled at 16.16M when
     # this estimated 15.75M) — margin applies only there: the recompute
@@ -159,7 +159,9 @@ def _fwd_common(x, gpre32, wqkv, mask_row, scale, causal, heads, dim_head,
         inv_pre = jnp.where(row_valid, stats[:, 2 * heads + 1:2 * heads + 2],
                             1.0)
         xhat_pre = (x32 - mean_pre) * inv_pre
-        xn32 = None
+        # the recompute-backward variant passes stats but NOT a stored qkv:
+        # it still needs xn for the qkv dot (elementwise from the stats)
+        xn32 = xhat_pre * gpre32 if qkv is None else None
     elif collect_stats:
         # inline _ln_fp32 (same op sequence, bit-identical) to also keep
         # the mean for storage
@@ -238,6 +240,36 @@ def _fwd_kernel(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref, mask_ref,
     proj = _dot(attnout, wout_ref[...])           # fp32 (n_rows, dim)
     y32, _, _ = _ln_fp32(proj, gout32, eps)
     o_ref[0, :n_rows] = y32.astype(o_ref.dtype) + x[:n_rows]
+
+
+def _fwd_kernel_stats(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref,
+                      mask_ref, o_ref, stats_ref, *, scale, causal, heads,
+                      dim_head, n_rows, eps, n_real, maybe_dead):
+    """Recompute-variant forward: emits out plus ONLY the fp32 row
+    statistics (per-head softmax max/normalizer + both LN mean/inv —
+    (2·heads+4)·4 bytes/row, no O(n·hd) residuals). The recompute backward
+    re-derives qkv/p/attnout/proj but reuses these stats elementwise, so
+    every cotangent-independent VPU row reduction disappears from it too
+    (VERDICT r4 #2)."""
+    x = x_ref[0]
+    gpre32 = gpre_ref[...].astype(jnp.float32)
+    gout32 = gout_ref[...].astype(jnp.float32)
+
+    _, _, _, _, po, attnout, _, _, stats_parts = _fwd_common(
+        x, gpre32, wqkv_ref[...], mask_ref[0], scale, causal, heads,
+        dim_head, n_rows, eps, n_real, maybe_dead, collect_stats=True)
+
+    proj = _dot(attnout, wout_ref[...])           # fp32 (n_rows, dim)
+    # inline _ln_fp32 (bit-identical op sequence) to keep mean_o/inv_o
+    mean_o = jnp.mean(proj, axis=-1, keepdims=True)
+    c_o = proj - mean_o
+    var_o = jnp.mean(c_o * c_o, axis=-1, keepdims=True)
+    inv_o = jax.lax.rsqrt(var_o + eps)
+    y32 = (c_o * inv_o) * gout32
+    o_ref[0, :n_rows] = y32.astype(o_ref.dtype) + x[:n_rows]
+    mean_pre, inv_pre, ms, ls = stats_parts
+    stats_ref[0, :n_rows] = jnp.concatenate(
+        ms + ls + [mean_pre, inv_pre, mean_o, inv_o], axis=-1)
 
 
 def _fwd_kernel_stored(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref,
@@ -348,10 +380,16 @@ def _bwd_kernel_stored(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref,
 
 
 def _bwd_kernel(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref, mask_ref,
-                do_ref,
+                do_ref, stats_ref,
                 dx_ref, dwqkv_ref, dwout_ref, dgpre_ref, dgout_ref,
                 *, scale, causal, heads, dim_head, n_rows, eps, n_real,
                 maybe_dead):
+    """Recompute backward with the forward-stored fp32 row statistics:
+    qkv/p/attnout/proj are still re-derived in-kernel (no O(n·hd) HBM
+    residuals — the memory-lean contract) and dW_qkv/dW_out accumulate in
+    VMEM, but the softmax max/sum and both LN mean/var reductions reuse
+    the stored values elementwise — bitwise the forward's, since the
+    recomputed tensors repeat its exact op sequence on the same inputs."""
     b = pl.program_id(0)
 
     @pl.when(b == 0)
@@ -365,20 +403,21 @@ def _bwd_kernel(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref, mask_ref,
     gpre32 = gpre_ref[...].astype(jnp.float32)
     gout32 = gout_ref[...].astype(jnp.float32)
     hd = heads * dim_head
+    stats32 = stats_ref[0][:n_rows]
 
     xhat_pre, inv_pre, xn, qkv, po, attnout, dead, row_valid, _ = \
         _fwd_common(
             x, gpre32, wqkv_ref[...], mask_ref[0], scale, causal, heads,
-            dim_head, n_rows, eps, n_real, maybe_dead)
+            dim_head, n_rows, eps, n_real, maybe_dead, stats=stats32)
     # garbage do rows would poison every row-contracted accumulation
     do = jnp.where(row_valid, do_ref[0][:n_rows].astype(jnp.float32), 0.0)
-    # re-derive out-LN stats from the recomputed projection
+    # recompute the projection; its LN stats come stored
     proj = _dot(attnout, wout_ref[...])
-    mean_o = jnp.mean(proj, axis=-1, keepdims=True)
-    c_o = proj - mean_o
-    var_o = jnp.mean(c_o * c_o, axis=-1, keepdims=True)
-    inv_o = jax.lax.rsqrt(var_o + eps)
-    xhat_o = c_o * inv_o
+    mean_o = jnp.where(row_valid, stats32[:, 2 * heads + 2:2 * heads + 3],
+                       0.0)
+    inv_o = jnp.where(row_valid, stats32[:, 2 * heads + 3:2 * heads + 4],
+                      1.0)
+    xhat_o = (proj - mean_o) * inv_o
 
     # out LayerNorm backward (residual handled at the end)
     dproj, dg_out = _ln_bwd(do, xhat_o, inv_o, gout32)
@@ -431,7 +470,7 @@ def attention_block(x, g_pre, w_qkv, w_out, g_out, mask,
     `supported(..., store_qkv=True)`)."""
     out, _ = _mega_fwd(x, g_pre, w_qkv, w_out, g_out, mask,
                        heads, dim_head, scale, causal, interpret, maybe_dead,
-                       store_qkv)
+                       store_qkv, need_residuals=False)
     return out
 
 
@@ -454,18 +493,24 @@ def _prep(x, mask, interpret):
 
 def _mega_fwd(x, g_pre, w_qkv, w_out, g_out, mask,
               heads, dim_head, scale, causal, interpret, maybe_dead,
-              store_qkv=False):
+              store_qkv=False, need_residuals=True):
     x_p, key_valid, n, n_pad, interp = _prep(x, mask, interpret)
     b, _, dim = x_p.shape
     n_rows = min(_round_up(n, 16), n_pad)
     eps = _eps_for(x.dtype)
     hd = w_qkv.shape[-1] // 3
 
-    kernel = _fwd_kernel_stored if store_qkv else _fwd_kernel
+    if not need_residuals:  # primal-only (inference): leanest forward
+        store_qkv = False
+        kernel = _fwd_kernel
+    else:
+        kernel = _fwd_kernel_stored if store_qkv else _fwd_kernel_stats
     out_specs = pl.BlockSpec((1, n_pad, dim), lambda i: (i, 0, 0))
     out_shape = jax.ShapeDtypeStruct((b, n, dim), x.dtype)
     n_stats = 2 * heads + 4
-    if store_qkv:
+    if not need_residuals:
+        pass
+    elif store_qkv:
         out_specs = [out_specs,
                      pl.BlockSpec((1, n_pad, 3 * hd), lambda i: (i, 0, 0)),
                      pl.BlockSpec((1, n_pad, hd), lambda i: (i, 0, 0)),
@@ -475,6 +520,12 @@ def _mega_fwd(x, g_pre, w_qkv, w_out, g_out, mask,
                      jax.ShapeDtypeStruct((b, n, 3 * hd), x.dtype),
                      jax.ShapeDtypeStruct((b, n, hd), x.dtype),
                      jax.ShapeDtypeStruct((b, n, dim), x.dtype),
+                     jax.ShapeDtypeStruct((b, n, n_stats), jnp.float32)]
+    else:
+        # recompute variant: out + fp32 row stats only (VERDICT r4 #2)
+        out_specs = [out_specs,
+                     pl.BlockSpec((1, n_pad, n_stats), lambda i: (i, 0, 0))]
+        out_shape = [out_shape,
                      jax.ShapeDtypeStruct((b, n, n_stats), jnp.float32)]
     res = pl.pallas_call(
         functools.partial(kernel, scale=scale, causal=causal,
@@ -493,10 +544,13 @@ def _mega_fwd(x, g_pre, w_qkv, w_out, g_out, mask,
         out_shape=out_shape,
         interpret=interp,
     )(x_p, g_pre[None, :], w_qkv, w_out, g_out[None, :], key_valid)
+    if not need_residuals:
+        return res, (x_p, key_valid, None)
     if store_qkv:
         out, qkv, attnout, proj, stats = res
         return out, (x_p, key_valid, (qkv, attnout, proj, stats))
-    return res, (x_p, key_valid, None)
+    out, stats = res
+    return out, (x_p, key_valid, (stats,))
 
 
 # the weights are needed in the backward: carry them as residuals
@@ -580,6 +634,12 @@ def _mega_bwd_vjp(heads, dim_head, scale, causal, interpret, maybe_dead,
             (((0, 1), (0, 1)), ((), ())),
             preferred_element_type=jnp.float32)
     else:
+        (stats,) = qkv
+        n_stats = 2 * heads + 4
+        in_specs += [
+            pl.BlockSpec((1, n_pad, n_stats), lambda i: (i, 0, 0)),
+        ]
+        args += [stats]
         dx, dwqkv, dwout, dgpre, dgout = pl.pallas_call(
             functools.partial(_bwd_kernel, scale=scale, causal=causal,
                               heads=heads, dim_head=dim_head, n_rows=n_rows,

@@ -37,6 +37,18 @@ the ideal backward FLOPs). The (rows, 2·inner) tensor streams through the
 row grid, so the added DMA overlaps the dW dots; whether that wins is
 chip-bandwidth-dependent — both variants are benched in README Performance.
 
+Precision note (ADVICE r4): with `store_h=True` the four stored per-row LN
+statistics (mp/ip/mi/ii) are computed from the fp32 h in the FORWARD, but
+the backward rebuilds prod from the bf16-downcast stored h — so the
+reconstructed xhat_in = (prod − mi)·ii no longer exactly satisfies the
+zero-mean/unit-variance identities the LN-backward formula assumes
+(bf16-level error; gradient tests pass within tolerance, and the stored
+stats arguably put the result CLOSER to the true gradient than re-reducing
+the downcast h would). Start precision debugging here. The `store_h=False`
+variant does not have this interaction: its backward recomputes h with the
+forward's exact fp32 op sequence, so the stored stats are bitwise
+consistent with the recomputed activations.
+
 Measured dead end (r3, don't retry): a per-batch-element 3D layout
 (blocks of the exact (1, n, d) shape, no flatten) removes the ~6 ms/step
 of relayout reshapes that flattening a sublane-misaligned (b, 257, d)
@@ -102,15 +114,43 @@ def _fwd_kernel(x_ref, gpre_ref, win_ref, gin_ref, wout_ref, o_ref,
     o_ref[...] = out.astype(x.dtype) + x
 
 
-def _ff_block_fwd_call(x2, g_pre, w_in, g_inner, w_out, block_rows, interpret):
+def _fwd_kernel_stats(x_ref, gpre_ref, win_ref, gin_ref, wout_ref,
+                      o_ref, mp_ref, ip_ref, mi_ref, ii_ref,
+                      *, eps_pre, eps_in):
+    """Recompute-variant forward: emits out plus ONLY the four fp32 per-row
+    LN statistics (no h) — 16 bytes/row of extra DMA buys the backward an
+    elementwise stored-stat LayerNorm in both passes (VERDICT r4 #2). The
+    dead h downcast inside _fwd_store_core is DCE'd by Mosaic."""
+    out, _h, mp, ip, mi, ii = _fwd_store_core(
+        x_ref[...], gpre_ref[...], win_ref[...], gin_ref[...], wout_ref[...],
+        eps_pre, eps_in)
+    o_ref[...] = out
+    mp_ref[...] = mp
+    ip_ref[...] = ip
+    mi_ref[...] = mi
+    ii_ref[...] = ii
+
+
+def _ff_block_fwd_call(x2, g_pre, w_in, g_inner, w_out, block_rows, interpret,
+                       need_stats=False):
     rows, d = x2.shape
     two_inner = w_in.shape[-1]
     inner = two_inner // 2
     eps = _eps_for(x2.dtype)
     nb = rows // block_rows
 
+    out_specs = pl.BlockSpec((block_rows, d), lambda i: (i, 0))
+    out_shape = jax.ShapeDtypeStruct((rows, d), x2.dtype)
+    kernel = functools.partial(_fwd_kernel, eps_pre=eps, eps_in=eps)
+    if need_stats:
+        row_vec = lambda: pl.BlockSpec((block_rows, 1), lambda i: (i, 0))
+        stat_shape = lambda: jax.ShapeDtypeStruct((rows, 1), jnp.float32)
+        out_specs = [out_specs, row_vec(), row_vec(), row_vec(), row_vec()]
+        out_shape = [out_shape, stat_shape(), stat_shape(), stat_shape(),
+                     stat_shape()]
+        kernel = functools.partial(_fwd_kernel_stats, eps_pre=eps, eps_in=eps)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, eps_pre=eps, eps_in=eps),
+        kernel,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((block_rows, d), lambda i: (i, 0)),
@@ -119,8 +159,8 @@ def _ff_block_fwd_call(x2, g_pre, w_in, g_inner, w_out, block_rows, interpret):
             pl.BlockSpec((1, inner), lambda i: (0, 0)),
             pl.BlockSpec((inner, d), lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((block_rows, d), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((rows, d), x2.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(x2, g_pre[None, :], w_in, g_inner[None, :], w_out)
 
@@ -175,8 +215,64 @@ def _fwd_kernel_store(x_ref, gpre_ref, win_ref, gin_ref, wout_ref,
     ii_ref[...] = ii
 
 
+def _fwd_store_geglu_core(x, gpre, win, gin, wout, eps_pre, eps_in):
+    """store_h='geglu' forward math on one 2D tile: like _fwd_store_core
+    but the stored activation is the GEGLU triple (prod = a·gelu(b),
+    gelu(b), a·gelu'(b)) instead of h — 3·inner lanes instead of 2·inner,
+    and the forward additionally evaluates exp(−b²/2) (gelu' needs the
+    pdf). In exchange BOTH backward passes lose every transcendental
+    (erf + exp over (rows, inner) each — the dominant VPU term the r4
+    trace left in them): da = dprod·gelu_b and db = dprod·agdb become
+    two multiplies. The stored values come from the fp32 forward h, so
+    they are MORE precise than the store_h=True path's
+    recompute-from-bf16-h (see the module precision note)."""
+    x32 = x.astype(jnp.float32)
+    gpre32 = gpre.astype(jnp.float32)
+    mean_pre = jnp.mean(x32, axis=-1, keepdims=True)
+    c_pre = x32 - mean_pre
+    var_pre = jnp.mean(c_pre * c_pre, axis=-1, keepdims=True)
+    inv_pre = jax.lax.rsqrt(var_pre + eps_pre)
+    xn = ((c_pre * inv_pre) * gpre32).astype(x.dtype)
+
+    h = jax.lax.dot_general(xn, win, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    inner = h.shape[-1] // 2
+    a, b = h[:, :inner], h[:, inner:]
+    gelu_b, gelu_db = _gelu_val_grad(b)
+    prod = a * gelu_b
+    mean_in = jnp.mean(prod, axis=-1, keepdims=True)
+    c_in = prod - mean_in
+    var_in = jnp.mean(c_in * c_in, axis=-1, keepdims=True)
+    inv_in = jax.lax.rsqrt(var_in + eps_in)
+    y = ((c_in * inv_in) * gin.astype(jnp.float32)).astype(x.dtype)
+
+    out = jax.lax.dot_general(y, wout, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    return (out.astype(x.dtype) + x,
+            prod.astype(x.dtype), gelu_b.astype(x.dtype),
+            (a * gelu_db).astype(x.dtype),
+            mean_pre, inv_pre, mean_in, inv_in)
+
+
+def _fwd_kernel_store_geglu(x_ref, gpre_ref, win_ref, gin_ref, wout_ref,
+                            o_ref, prod_ref, gb_ref, agdb_ref,
+                            mp_ref, ip_ref, mi_ref, ii_ref,
+                            *, eps_pre, eps_in):
+    out, prod, gb, agdb, mp, ip, mi, ii = _fwd_store_geglu_core(
+        x_ref[...], gpre_ref[...], win_ref[...], gin_ref[...], wout_ref[...],
+        eps_pre, eps_in)
+    o_ref[...] = out
+    prod_ref[...] = prod
+    gb_ref[...] = gb
+    agdb_ref[...] = agdb
+    mp_ref[...] = mp
+    ip_ref[...] = ip
+    mi_ref[...] = mi
+    ii_ref[...] = ii
+
+
 def _ff_block_fwd_store_call(x2, g_pre, w_in, g_inner, w_out, block_rows,
-                             interpret):
+                             interpret, geglu=False):
     rows, d = x2.shape
     two_inner = w_in.shape[-1]
     inner = two_inner // 2
@@ -185,8 +281,19 @@ def _ff_block_fwd_store_call(x2, g_pre, w_in, g_inner, w_out, block_rows,
 
     row_vec = lambda: pl.BlockSpec((block_rows, 1), lambda i: (i, 0))
     stat_shape = lambda: jax.ShapeDtypeStruct((rows, 1), jnp.float32)
+    if geglu:
+        kernel = functools.partial(_fwd_kernel_store_geglu,
+                                   eps_pre=eps, eps_in=eps)
+        act_specs = [pl.BlockSpec((block_rows, inner), lambda i: (i, 0))
+                     for _ in range(3)]
+        act_shape = [jax.ShapeDtypeStruct((rows, inner), x2.dtype)
+                     for _ in range(3)]
+    else:
+        kernel = functools.partial(_fwd_kernel_store, eps_pre=eps, eps_in=eps)
+        act_specs = [pl.BlockSpec((block_rows, two_inner), lambda i: (i, 0))]
+        act_shape = [jax.ShapeDtypeStruct((rows, two_inner), x2.dtype)]
     return pl.pallas_call(
-        functools.partial(_fwd_kernel_store, eps_pre=eps, eps_in=eps),
+        kernel,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((block_rows, d), lambda i: (i, 0)),
@@ -197,12 +304,12 @@ def _ff_block_fwd_store_call(x2, g_pre, w_in, g_inner, w_out, block_rows,
         ],
         out_specs=[
             pl.BlockSpec((block_rows, d), lambda i: (i, 0)),
-            pl.BlockSpec((block_rows, two_inner), lambda i: (i, 0)),
+            *act_specs,
             row_vec(), row_vec(), row_vec(), row_vec(),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((rows, d), x2.dtype),
-            jax.ShapeDtypeStruct((rows, two_inner), x2.dtype),
+            *act_shape,
             stat_shape(), stat_shape(), stat_shape(), stat_shape(),
         ],
         interpret=interpret,
@@ -212,9 +319,17 @@ def _ff_block_fwd_store_call(x2, g_pre, w_in, g_inner, w_out, block_rows,
 # ---------------------------------------------------- backward pass 1 (dx)
 
 def _bwd_dx_kernel(x_ref, gpre_ref, win_ref, gin_ref, wout_ref, do_ref,
-                   dx_ref, mean_ref, inv_ref, m1_ref, m2_ref,
+                   mp_ref, ip_ref, mi_ref, ii_ref,
+                   dx_ref, m1_ref, m2_ref,
                    dgpre_ref, dgin_ref,
-                   dgpre_scr, dgin_scr, *, eps_pre, eps_in, num_blocks):
+                   dgpre_scr, dgin_scr, *, num_blocks):
+    """Recompute pass 1 with the forward-stored LN statistics (mp/ip/mi/ii):
+    the x@w_in matmul and GEGLU are still recomputed tile-wise (no
+    O(rows·inner) residual — the memory-lean contract), but both LayerNorms
+    become elementwise (v − mean)·inv reuses of the forward's fp32 values —
+    bitwise identical to a fresh reduction since the recomputed h/prod
+    repeat the forward's exact op sequence on the same inputs. Only the
+    cotangent-dependent reductions (m1/m2, p1/p2, the dg sums) remain."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -228,21 +343,19 @@ def _bwd_dx_kernel(x_ref, gpre_ref, win_ref, gin_ref, wout_ref, do_ref,
     gpre32 = gpre_ref[...].astype(jnp.float32)
     gin32 = gin_ref[...].astype(jnp.float32)
 
-    # recompute forward up to the inner normalized activation
+    # recompute forward up to the inner normalized activation, LNs from
+    # the stored stats
     x32 = x.astype(jnp.float32)
-    xn32, xhat_pre, inv_pre = _ln_fp32(x32, gpre32, eps_pre)
-    xn = xn32.astype(x.dtype)
+    xhat_pre = (x32 - mp_ref[...]) * ip_ref[...]
+    xn = (xhat_pre * gpre32).astype(x.dtype)
     h = jax.lax.dot_general(xn, win_ref[...], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     inner = h.shape[-1] // 2
     a, b = h[:, :inner], h[:, inner:]
     gelu_b, gelu_db = _gelu_val_grad(b)
     prod = a * gelu_b
-    mean_in = jnp.mean(prod, axis=-1, keepdims=True)
-    c = prod - mean_in
-    var_in = jnp.mean(c * c, axis=-1, keepdims=True)
-    inv_in = jax.lax.rsqrt(var_in + eps_in)
-    xhat_in = c * inv_in
+    inv_in = ii_ref[...]
+    xhat_in = (prod - mi_ref[...]) * inv_in
 
     # d(inner normalized · g) = do @ w_out^T
     dy = jax.lax.dot_general(do, wout_ref[...],
@@ -256,9 +369,7 @@ def _bwd_dx_kernel(x_ref, gpre_ref, win_ref, gin_ref, wout_ref, do_ref,
     m2 = jnp.mean(dyg * xhat_in, axis=-1, keepdims=True)
     dprod = inv_in * (dyg - m1 - xhat_in * m2)
 
-    # emit per-row inner stats for the dW pass
-    mean_ref[...] = mean_in
-    inv_ref[...] = inv_in
+    # emit the cotangent-dependent per-row terms for the dW pass
     m1_ref[...] = m1
     m2_ref[...] = m2
 
@@ -275,7 +386,7 @@ def _bwd_dx_kernel(x_ref, gpre_ref, win_ref, gin_ref, wout_ref, do_ref,
     dyg2 = dxn * gpre32
     p1 = jnp.mean(dyg2, axis=-1, keepdims=True)
     p2 = jnp.mean(dyg2 * xhat_pre, axis=-1, keepdims=True)
-    dx = inv_pre * (dyg2 - p1 - xhat_pre * p2) + do32
+    dx = ip_ref[...] * (dyg2 - p1 - xhat_pre * p2) + do32
     dx_ref[...] = dx.astype(dx_ref.dtype)
 
     @pl.when(i == num_blocks - 1)
@@ -373,13 +484,80 @@ def _bwd_dx_kernel_stored(x_ref, gpre_ref, win_ref, gin_ref, wout_ref,
         dgin_ref[...] = dgin_scr[...]
 
 
+def _p1_geglu_core(x, do, gpre, gin, win, wout, prod_raw, gb_raw, agdb_raw,
+                   mp, ip, mi, ii):
+    """store_h='geglu' pass-1 math on one 2D tile: the GEGLU triple is read
+    (no h, no erf/exp — da and db are two multiplies), both LNs are
+    elementwise stored-stat reuses. Returns (dx, dprod_cast, dgpre_tile,
+    dgin_tile); the only row reductions left are cotangent-dependent."""
+    do32 = do.astype(jnp.float32)
+    gpre32 = gpre.astype(jnp.float32)
+    gin32 = gin.astype(jnp.float32)
+
+    x32 = x.astype(jnp.float32)
+    xhat_pre = (x32 - mp) * ip
+    prod = prod_raw.astype(jnp.float32)
+    xhat_in = (prod - mi) * ii
+
+    dy = jax.lax.dot_general(do, wout, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dgin_tile = jnp.sum(dy * xhat_in, axis=0, keepdims=True)
+
+    dyg = dy * gin32
+    m1 = jnp.mean(dyg, axis=-1, keepdims=True)
+    m2 = jnp.mean(dyg * xhat_in, axis=-1, keepdims=True)
+    dprod = ii * (dyg - m1 - xhat_in * m2)
+
+    da = dprod * gb_raw.astype(jnp.float32)
+    db = dprod * agdb_raw.astype(jnp.float32)
+    dh = jnp.concatenate([da, db], axis=-1).astype(x.dtype)
+    dxn = jax.lax.dot_general(dh, win, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+
+    dgpre_tile = jnp.sum(dxn * xhat_pre, axis=0, keepdims=True)
+
+    dyg2 = dxn * gpre32
+    p1 = jnp.mean(dyg2, axis=-1, keepdims=True)
+    p2 = jnp.mean(dyg2 * xhat_pre, axis=-1, keepdims=True)
+    dx = ip * (dyg2 - p1 - xhat_pre * p2) + do32
+    return (dx.astype(x.dtype), dprod.astype(x.dtype),
+            dgpre_tile, dgin_tile)
+
+
+def _bwd_dx_kernel_geglu(x_ref, gpre_ref, win_ref, gin_ref, wout_ref,
+                         do_ref, prod_ref, gb_ref, agdb_ref,
+                         mp_ref, ip_ref, mi_ref, ii_ref,
+                         dx_ref, dprod_ref, dgpre_ref, dgin_ref,
+                         dgpre_scr, dgin_scr, *, num_blocks):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dgpre_scr[...] = jnp.zeros_like(dgpre_scr)
+        dgin_scr[...] = jnp.zeros_like(dgin_scr)
+
+    dx, dprod, dgpre_t, dgin_t = _p1_geglu_core(
+        x_ref[...], do_ref[...], gpre_ref[...], gin_ref[...],
+        win_ref[...], wout_ref[...], prod_ref[...], gb_ref[...],
+        agdb_ref[...], mp_ref[...], ip_ref[...], mi_ref[...], ii_ref[...])
+    dx_ref[...] = dx
+    dprod_ref[...] = dprod
+    dgpre_scr[...] += dgpre_t
+    dgin_scr[...] += dgin_t
+
+    @pl.when(i == num_blocks - 1)
+    def _emit():
+        dgpre_ref[...] = dgpre_scr[...]
+        dgin_ref[...] = dgin_scr[...]
+
+
 # ---------------------------------------------------- backward pass 2 (dW)
 
 def _bwd_dw_kernel(x_ref, gpre_ref, wina_ref, winb_ref, gin_ref, wout_ref,
-                   do_ref, mean_ref, inv_ref, m1_ref, m2_ref,
+                   do_ref, mean_ref, inv_ref, m1_ref, m2_ref, mp_ref, ip_ref,
                    dwina_ref, dwinb_ref, dwout_ref,
                    dwina_scr, dwinb_scr, dwout_scr,
-                   *, eps_pre, num_row_blocks):
+                   *, num_row_blocks):
     r = pl.program_id(1)
 
     @pl.when(r == 0)
@@ -397,9 +575,10 @@ def _bwd_dw_kernel(x_ref, gpre_ref, wina_ref, winb_ref, gin_ref, wout_ref,
     m1 = m1_ref[...]
     m2 = m2_ref[...]
 
+    # pre-LN from the forward-stored stats: without this the kernel
+    # re-reduced the x tile once per COLUMN block (×ncb)
     x32 = x.astype(jnp.float32)
-    xn32, _, _ = _ln_fp32(x32, gpre32, eps_pre)
-    xn = xn32.astype(x.dtype)
+    xn = (((x32 - mp_ref[...]) * ip_ref[...]) * gpre32).astype(x.dtype)
 
     # recompute only this column block of the inner activations
     a = jax.lax.dot_general(xn, wina_ref[...], (((1,), (0,)), ((), ())),
@@ -500,6 +679,63 @@ def _bwd_dw_kernel_stored(x_ref, gpre_ref, gin_ref, do_ref,
         dwout_ref[...] = dwout_scr[...].astype(dwout_ref.dtype)
 
 
+def _p2_geglu_core(x, do, gpre, gin_slice, prod_s, gb_s, agdb_s, dprod_raw,
+                   mean_in, inv_in, mean_pre, inv_pre):
+    """store_h='geglu' pass-2 math on one (rows × column-slice) tile: like
+    _p2_stored_core but the GEGLU triple slices replace ha/hb — no gelu
+    recompute; the tile is pure multiplies plus the three dW dots."""
+    gpre32 = gpre.astype(jnp.float32)
+    gin32 = gin_slice.astype(jnp.float32)
+
+    x32 = x.astype(jnp.float32)
+    xn = (((x32 - mean_pre) * inv_pre) * gpre32).astype(x.dtype)
+
+    prod = prod_s.astype(jnp.float32)
+    xhat = (prod - mean_in) * inv_in
+    dprod = dprod_raw.astype(jnp.float32)
+
+    da = (dprod * gb_s.astype(jnp.float32)).astype(x.dtype)
+    db = (dprod * agdb_s.astype(jnp.float32)).astype(x.dtype)
+    y = (xhat * gin32).astype(x.dtype)
+
+    dwina = jax.lax.dot_general(
+        xn, da, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dwinb = jax.lax.dot_general(
+        xn, db, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dwout = jax.lax.dot_general(
+        y, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    return dwina, dwinb, dwout
+
+
+def _bwd_dw_kernel_geglu(x_ref, gpre_ref, gin_ref, do_ref,
+                         prod_ref, gb_ref, agdb_ref, dprod_ref,
+                         mean_ref, inv_ref, mp_ref, ip_ref,
+                         dwina_ref, dwinb_ref, dwout_ref,
+                         dwina_scr, dwinb_scr, dwout_scr,
+                         *, num_row_blocks):
+    r = pl.program_id(1)
+
+    @pl.when(r == 0)
+    def _init():
+        dwina_scr[...] = jnp.zeros_like(dwina_scr)
+        dwinb_scr[...] = jnp.zeros_like(dwinb_scr)
+        dwout_scr[...] = jnp.zeros_like(dwout_scr)
+
+    dwina, dwinb, dwout = _p2_geglu_core(
+        x_ref[...], do_ref[...], gpre_ref[...], gin_ref[...],
+        prod_ref[...], gb_ref[...], agdb_ref[...], dprod_ref[...],
+        mean_ref[...], inv_ref[...], mp_ref[...], ip_ref[...])
+    dwina_scr[...] += dwina
+    dwinb_scr[...] += dwinb
+    dwout_scr[...] += dwout
+
+    @pl.when(r == num_row_blocks - 1)
+    def _emit():
+        dwina_ref[...] = dwina_scr[...].astype(dwina_ref.dtype)
+        dwinb_ref[...] = dwinb_scr[...].astype(dwinb_ref.dtype)
+        dwout_ref[...] = dwout_scr[...].astype(dwout_ref.dtype)
+
+
 # --------------------------------------------------------------- custom vjp
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
@@ -510,9 +746,13 @@ def ff_block(x, g_pre, w_in, g_inner, w_out,
     w_out: (inner, d). Returns x + FF(LN(x)) with the whole block fused.
     Differentiable w.r.t. all five tensor arguments. `store_h=True` keeps
     the (rows, 2·inner) pre-GEGLU activation (storage dtype) as a backward
-    residual instead of recomputing it twice — see module docstring."""
+    residual instead of recomputing it twice; `store_h='geglu'` stores the
+    (rows, 3·inner) GEGLU triple (prod, gelu(b), a·gelu'(b)) instead,
+    removing every transcendental from both backward passes — see module
+    docstring."""
     out, _ = _ff_block_fwd(x, g_pre, w_in, g_inner, w_out,
-                           block_rows, block_cols, interpret, store_h)
+                           block_rows, block_cols, interpret, store_h,
+                           need_residuals=False)
     return out
 
 
@@ -559,27 +799,47 @@ def _clamp_blocks(x, w_in, block_rows, block_cols):
 
 
 def _ff_block_fwd(x, g_pre, w_in, g_inner, w_out,
-                  block_rows, block_cols, interpret, store_h=False):
+                  block_rows, block_cols, interpret, store_h=False,
+                  need_residuals=True):
     interpret = _resolve_interpret(interpret)
     block_rows, block_cols = _clamp_blocks(x, w_in, block_rows, block_cols)
     x2, rows, lead = _flatten_pad(x, block_rows)
+    if not need_residuals:  # primal-only (inference): leanest forward
+        out = _ff_block_fwd_call(x2, g_pre, w_in, g_inner, w_out,
+                                 block_rows, interpret)
+        return out[:rows].reshape(x.shape), None
+    if store_h == 'geglu':
+        out, prod2, gb2, agdb2, mp, ip, mi, ii = _ff_block_fwd_store_call(
+            x2, g_pre, w_in, g_inner, w_out, block_rows, interpret,
+            geglu=True)
+        return (out[:rows].reshape(x.shape),
+                (x, g_pre, w_in, g_inner, w_out,
+                 (prod2, gb2, agdb2, mp, ip, mi, ii)))
     if store_h:
         out, h2, mp, ip, mi, ii = _ff_block_fwd_store_call(
             x2, g_pre, w_in, g_inner, w_out, block_rows, interpret)
         # h/stats stay flat-padded: the backward re-pads x to the same layout
         return (out[:rows].reshape(x.shape),
                 (x, g_pre, w_in, g_inner, w_out, (h2, mp, ip, mi, ii)))
-    out = _ff_block_fwd_call(x2, g_pre, w_in, g_inner, w_out,
-                             block_rows, interpret)
-    return out[:rows].reshape(x.shape), (x, g_pre, w_in, g_inner, w_out, None)
+    # recompute variant: still emit the four fp32 per-row LN stats (16
+    # bytes/row) so both backward passes get elementwise LayerNorms
+    # (VERDICT r4 #2)
+    out, mp, ip, mi, ii = _ff_block_fwd_call(
+        x2, g_pre, w_in, g_inner, w_out, block_rows, interpret,
+        need_stats=True)
+    return (out[:rows].reshape(x.shape),
+            (x, g_pre, w_in, g_inner, w_out, (mp, ip, mi, ii)))
 
 
 def _ff_block_bwd(block_rows, block_cols, interpret, store_h, res, dout):
     x, g_pre, w_in, g_inner, w_out, stored = res
-    if store_h:
+    h2 = prod2 = gb2 = agdb2 = None
+    if store_h == 'geglu':
+        prod2, gb2, agdb2, f_mp, f_ip, f_mi, f_ii = stored
+    elif store_h:
         h2, f_mp, f_ip, f_mi, f_ii = stored
     else:
-        h2 = None
+        f_mp, f_ip, f_mi, f_ii = stored
     interpret = _resolve_interpret(interpret)
     block_rows, block_cols = _clamp_blocks(x, w_in, block_rows, block_cols)
     fwd_block_rows = block_rows
@@ -592,25 +852,25 @@ def _ff_block_bwd(block_rows, block_cols, interpret, store_h, res, dout):
     d = x.shape[-1]
     two_inner = w_in.shape[-1]
     inner = two_inner // 2
-    eps = _eps_for(x.dtype)
 
-    # with store_h, x/do must match h2's row padding (the FORWARD tile's
+    # x/do must match the stored h/stats row padding (the FORWARD tile's
     # round-up — divisible by the halved backward tile, so the grid still
-    # tiles exactly and no copy of h2 is needed)
-    pad_unit = fwd_block_rows if store_h else block_rows
+    # tiles exactly and no copy of the residuals is needed)
+    pad_unit = fwd_block_rows
     x2, rows, lead = _flatten_pad(x, pad_unit)
     do2, _, _ = _flatten_pad(dout.astype(x.dtype), pad_unit)
     rows_pad = x2.shape[0]
-    # with store_h the rows were padded to the FORWARD tile; the halved
-    # backward tile must divide that padding exactly or the pass-1 grid
-    # silently drops tail rows (nb truncates) — defaults (256→128) are
-    # fine, but a custom odd block_rows would not be
+    # rows were padded to the FORWARD tile; the halved backward tile must
+    # divide that padding exactly or the pass-1 grid silently drops tail
+    # rows (nb truncates) — defaults (256→128) are fine, but a custom odd
+    # block_rows would not be
     assert rows_pad % block_rows == 0, (
         f"backward block_rows={block_rows} does not divide the "
         f"forward-padded row count {rows_pad} (forward tile "
         f"{fwd_block_rows}); pass a block_rows whose half divides it")
     nb = rows_pad // block_rows
     assert h2 is None or h2.shape[0] == rows_pad, (h2.shape, rows_pad)
+    assert f_mp.shape[0] == rows_pad, (f_mp.shape, rows_pad)
 
     row_vec = lambda: pl.BlockSpec((block_rows, 1), lambda i: (i, 0))
     dx_in_specs = [
@@ -624,7 +884,16 @@ def _ff_block_bwd(block_rows, block_cols, interpret, store_h, res, dout):
     dx_args = [x2, g_pre[None, :], w_in, g_inner[None, :], w_out, do2]
     dx_out_specs = [pl.BlockSpec((block_rows, d), lambda i: (i, 0))]
     dx_out_shape = [jax.ShapeDtypeStruct((rows_pad, d), x.dtype)]
-    if store_h:
+    if store_h == 'geglu':
+        kernel1 = functools.partial(_bwd_dx_kernel_geglu, num_blocks=nb)
+        inner_spec = lambda: pl.BlockSpec((block_rows, inner),
+                                          lambda i: (i, 0))
+        dx_in_specs += [inner_spec(), inner_spec(), inner_spec(),
+                        row_vec(), row_vec(), row_vec(), row_vec()]
+        dx_args += [prod2, gb2, agdb2, f_mp, f_ip, f_mi, f_ii]
+        dx_out_specs.append(inner_spec())
+        dx_out_shape.append(jax.ShapeDtypeStruct((rows_pad, inner), x.dtype))
+    elif store_h:
         # measured on the real chip (r4, flagship b256): split=1 2070
         # pairs/s, split=2 2059, split=4 1853 — Mosaic already overlaps
         # the VPU GEGLU/LN backward with the dots at the full tile, and
@@ -645,11 +914,14 @@ def _ff_block_bwd(block_rows, block_cols, interpret, store_h, res, dout):
         dx_out_specs.append(pl.BlockSpec((block_rows, inner), lambda i: (i, 0)))
         dx_out_shape.append(jax.ShapeDtypeStruct((rows_pad, inner), x.dtype))
     else:
-        kernel1 = functools.partial(_bwd_dx_kernel, eps_pre=eps, eps_in=eps,
-                                    num_blocks=nb)
-        dx_out_specs += [row_vec(), row_vec(), row_vec(), row_vec()]
+        kernel1 = functools.partial(_bwd_dx_kernel, num_blocks=nb)
+        dx_in_specs += [row_vec(), row_vec(), row_vec(), row_vec()]
+        dx_args += [f_mp, f_ip, f_mi, f_ii]
+        # extra outputs: only the cotangent-dependent m1/m2 (the LN
+        # mean/inv the dW pass needs are the forward-stored ones)
+        dx_out_specs += [row_vec(), row_vec()]
         dx_out_shape += [jax.ShapeDtypeStruct((rows_pad, 1), jnp.float32)
-                         for _ in range(4)]
+                         for _ in range(2)]
     dx_out_specs += [
         pl.BlockSpec((1, d), lambda i: (0, 0)),
         pl.BlockSpec((1, inner), lambda i: (0, 0)),
@@ -672,11 +944,11 @@ def _ff_block_bwd(block_rows, block_cols, interpret, store_h, res, dout):
     )(*dx_args)
     if store_h:
         dx, dprod2, dgpre, dgin = outs
-        s_mean, s_inv = f_mi, f_ii
         s_m1 = s_m2 = None
     else:
-        dx, s_mean, s_inv, s_m1, s_m2, dgpre, dgin = outs
+        dx, s_m1, s_m2, dgpre, dgin = outs
         dprod2 = None
+    s_mean, s_inv = f_mi, f_ii
 
     # pass 2: dW over (column blocks × row blocks); columns of the inner dim
     # are independent given the per-row stats, so each column block
@@ -711,7 +983,28 @@ def _ff_block_bwd(block_rows, block_cols, interpret, store_h, res, dout):
         pltpu.VMEM((d, block_cols), jnp.float32),
         pltpu.VMEM((block_cols, d), jnp.float32),
     ]
-    if store_h:
+    if store_h == 'geglu':
+        cspec = lambda: pl.BlockSpec((block_rows2, block_cols),
+                                     lambda j, r: (r, j))
+        dwina, dwinb, dwout = pl.pallas_call(
+            functools.partial(_bwd_dw_kernel_geglu, num_row_blocks=nb2),
+            grid=(ncb, nb2),
+            in_specs=[
+                pl.BlockSpec((block_rows2, d), lambda j, r: (r, 0)),
+                pl.BlockSpec((1, d), lambda j, r: (0, 0)),
+                pl.BlockSpec((1, block_cols), lambda j, r: (0, j)),
+                pl.BlockSpec((block_rows2, d), lambda j, r: (r, 0)),
+                cspec(), cspec(), cspec(), cspec(),
+                stat_vec(), stat_vec(), stat_vec(), stat_vec(),
+            ],
+            out_specs=dw_out_specs,
+            out_shape=dw_out_shape,
+            scratch_shapes=dw_scratch,
+            interpret=interpret,
+        )(x2, g_pre[None, :], g_inner[None, :], do2,
+          prod2, gb2, agdb2, dprod2,
+          s_mean, s_inv, f_mp, f_ip)
+    elif store_h:
         dwina, dwinb, dwout = pl.pallas_call(
             functools.partial(_bwd_dw_kernel_stored, num_row_blocks=nb2),
             grid=(ncb, nb2),
@@ -736,7 +1029,7 @@ def _ff_block_bwd(block_rows, block_cols, interpret, store_h, res, dout):
     else:
         w_in_a, w_in_b = w_in[:, :inner], w_in[:, inner:]
         dwina, dwinb, dwout = pl.pallas_call(
-            functools.partial(_bwd_dw_kernel, eps_pre=eps, num_row_blocks=nb),
+            functools.partial(_bwd_dw_kernel, num_row_blocks=nb),
             grid=(ncb, nb),
             in_specs=[
                 pl.BlockSpec((block_rows, d), lambda j, r: (r, 0)),
@@ -747,13 +1040,14 @@ def _ff_block_bwd(block_rows, block_cols, interpret, store_h, res, dout):
                 pl.BlockSpec((block_cols, d), lambda j, r: (j, 0)),
                 pl.BlockSpec((block_rows, d), lambda j, r: (r, 0)),
                 stat_vec(), stat_vec(), stat_vec(), stat_vec(),
+                stat_vec(), stat_vec(),
             ],
             out_specs=dw_out_specs,
             out_shape=dw_out_shape,
             scratch_shapes=dw_scratch,
             interpret=interpret,
         )(x2, g_pre[None, :], w_in_a, w_in_b, g_inner[None, :], w_out, do2,
-          s_mean, s_inv, s_m1, s_m2)
+          s_mean, s_inv, s_m1, s_m2, f_mp, f_ip)
 
     dw_in = jnp.concatenate([dwina, dwinb], axis=-1).astype(w_in.dtype)
     return (dx[:rows].reshape(x.shape),

@@ -23,6 +23,7 @@ to a Pallas flash-attention kernel via `attn_impl='flash'`.
 
 from __future__ import annotations
 
+import os
 import warnings
 from typing import Optional
 
@@ -385,9 +386,16 @@ def transformer_apply(params, x, *, heads: int, dim_head: int,
                 # ('block_stored' — trades HBM traffic for the ~80% dW-pass
                 # recompute tax; see the kernel module docstring)
                 from ..kernels.fused_ff_block import ff_block
+                store_h = ff_impl == "block_stored" and training
+                if store_h and os.environ.get("XCLIP_FF_STORE", "") != "h":
+                    # stored residual: the GEGLU triple instead of h —
+                    # removes every transcendental from both backward
+                    # passes for 1.5× the residual bytes
+                    # (XCLIP_FF_STORE=h restores the r4 h residual)
+                    store_h = "geglu"
                 x = ff_block(x, p["ff"]["norm"]["g"], p["ff"]["w_in"]["w"],
                              p["ff"]["inner_norm"]["g"], p["ff"]["w_out"]["w"],
-                             store_h=(ff_impl == "block_stored" and training))
+                             store_h=store_h)
             else:
                 if ff_impl in ("block", "block_stored"):
                     _warn_fallback(
