@@ -39,6 +39,7 @@ def test_streaming_lse_matches_oracle(r, c, d, decoupled, off):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.fast
 def test_streaming_lse_grads_match_oracle():
     r, c, d, off = 100, 300, 64, 37
     rng = np.random.RandomState(1)

@@ -126,6 +126,7 @@ def test_ssl_with_real_augmentations_runs():
     assert float(loss) != float(loss2)
 
 
+@pytest.mark.fast
 def test_loss_weighting_assembly():
     """Weighted total = cl*(1 - w_t - w_i) + mlm*w_t + ssl*w_i (x_clip.py:851-875)."""
     _, jclip, params = make_mock_pair(use_mlm=True, mlm_mask_prob=1.0,
@@ -139,6 +140,7 @@ def test_loss_weighting_assembly():
     np.testing.assert_allclose(float(loss), float(expected), rtol=1e-6)
 
 
+@pytest.mark.fast
 def test_metrics_breakdown_keys():
     _, jclip, params = make_mock_pair()
     (_, _), (j_text, j_img) = rand_batch()

@@ -46,6 +46,7 @@ def test_encodings_parity():
     assert_close(r_img, o_img)
 
 
+@pytest.mark.fast
 def test_coarse_loss_parity():
     ref, jclip, params = make_mock_pair()
     (t_text, t_img), (j_text, j_img) = padded_batch()
@@ -98,6 +99,7 @@ def test_extra_latent_projection_parity():
     assert_close(r_i2t, jclip(j_text, j_img, text_to_image=False, params=params))
 
 
+@pytest.mark.fast
 def test_filip_loss_parity():
     ref, jclip, params = make_mock_pair(use_all_token_embeds=True)
     (t_text, t_img), (j_text, j_img) = padded_batch()
@@ -179,6 +181,7 @@ def test_rotary_pos_emb_parity():
     assert_close(r, o)
 
 
+@pytest.mark.fast
 def test_causal_eos_parity():
     eos_id = 99
     ref, jclip, params = make_mock_pair(text_causal_mask=True, text_eos_id=eos_id)
@@ -252,6 +255,7 @@ def test_rotary_causal_composes():
     assert all(bool(jnp.isfinite(g).all()) for g in jax.tree.leaves(grads))
 
 
+@pytest.mark.fast
 def test_grads_finite_and_match_reference():
     ref, jclip, params = make_mock_pair()
     (t_text, t_img), (j_text, j_img) = padded_batch()
@@ -281,6 +285,7 @@ def test_temperature_learnable():
     assert bool(jnp.abs(grads["temperature"]) > 0)
 
 
+@pytest.mark.fast
 def test_constructor_surface_matches_reference():
     """Every reference CLIP.__init__ kwarg must exist on our CLIP with the
     identical default (SURVEY §2.2: the kwargs ARE the public API contract).
@@ -318,6 +323,7 @@ def test_constructor_surface_matches_reference():
             f"extra kwarg {name} must have a default"
 
 
+@pytest.mark.fast
 def test_forward_flag_surface_matches_reference():
     """The reference CLIP.forward flags (x_clip.py:597-608) must all be
     accepted by our __call__ with the same defaults."""
@@ -335,6 +341,7 @@ def test_forward_flag_surface_matches_reference():
             assert our_sig.parameters[name].default == p.default, name
 
 
+@pytest.mark.fast
 def test_pallas_kernel_paths_match_reference():
     """The whole-block Pallas kernels (attention megablock + fused FF block)
     vs the PyTorch reference DIRECTLY, with transferred weights — not just

@@ -59,6 +59,7 @@ def test_rotary_position_zero_is_identity():
 
 # ------------------------------------------------------------- patch dropout
 
+@pytest.mark.fast
 def test_patch_dropout_keep_count():
     x = jnp.asarray(np.random.randn(3, 64, 8).astype(np.float32))
     for prob, expect in [(0.5, 32), (0.75, 16), (0.9, 6), (0.99, 1)]:
@@ -85,6 +86,7 @@ def test_patch_dropout_random_across_keys():
 
 # ------------------------------------------------------------ MLM mask subset
 
+@pytest.mark.fast
 def test_mask_subset_prob_bounds():
     rng = np.random.RandomState(0)
     eligible = jnp.asarray(rng.rand(8, 32) > 0.3)
@@ -235,6 +237,7 @@ def test_grayscale_augment_channels():
     assert out.shape == x.shape
 
 
+@pytest.mark.fast
 @pytest.mark.parametrize("causal", [False, True])
 def test_flash_attention_gradients_match_xla(causal):
     from xclip_tpu.kernels.flash_attention import flash_attention
@@ -267,6 +270,7 @@ def test_flash_attention_gradients_match_xla(causal):
                                    atol=5e-5, rtol=5e-4, err_msg=f"d{name}")
 
 
+@pytest.mark.fast
 def test_fused_ff_geglu_layernorm_matches_oracle():
     """kernels/fused_ff.geglu_layernorm (one-pass GEGLU + inner LayerNorm)
     must match the XLA path in both output and grads (fp32, interpret)."""
