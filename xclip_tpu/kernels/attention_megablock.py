@@ -105,6 +105,21 @@ def _dot(a, b, *, ta=False, tb=False):
                                preferred_element_type=jnp.float32)
 
 
+def _delta_all_heads(dattn, attnout, heads, dim_head, scale):
+    """Softmax-backward row term δ_h = scale·Σ_d(do_h ⊙ o_h) for ALL heads
+    at once: one full-lane (n, h·d) multiply + one tiny MXU dot against a
+    block-diagonal 0/1 selector, replacing `heads` separate 64-lane VPU
+    rowsums (sub-128-lane reductions waste half the VPU). Returns
+    (n, heads) fp32, scale folded in."""
+    hd = heads * dim_head
+    elprod = dattn * attnout.astype(jnp.float32)       # (n, hd) fp32
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (hd, heads), 0) // dim_head
+           == jax.lax.broadcasted_iota(jnp.int32, (hd, heads), 1))
+    sel = sel.astype(jnp.float32) * scale
+    return jax.lax.dot_general(elprod, sel, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
 def _dead_rows(mask_row, causal, n_rows, n_real):
     """(n_rows, 1) bool: rows with NO valid key, plus the uniform row
     (1, n_rows) used as their XLA-parity probability — computed from the
@@ -147,17 +162,26 @@ def _fwd_common(x, gpre32, wqkv, mask_row, scale, causal, heads, dim_head,
     program — qkv rows (kills garbage q/k/v), the mask's tail columns, and
     xhat_pre rows (the dgpre accumulation would otherwise read them).
     Output writes beyond n_real are hardware-masked."""
+    # STATIC partial-block test: when the 16-aligned row count equals the
+    # true row count (the flagship towers after sublane alignment), there
+    # are NO garbage rows inside [:n_rows] and every sanitizing `where`
+    # below is a provable no-op — skip them at trace time (they are
+    # full-width VPU selects, several per program)
+    partial = n_real < n_rows
     row_valid = (jax.lax.broadcasted_iota(jnp.int32, (n_rows, 1), 0)
-                 < n_real)
+                 < n_real) if partial else None
     # zeroing x BEFORE the LN makes xhat_pre/xn naturally zero in the
     # garbage rows (one where instead of two — the bwd kernel sits ~150K
     # from the scoped-VMEM limit at the flagship shape)
-    x32 = jnp.where(row_valid, x[:n_rows].astype(jnp.float32), 0.0)
+    x32 = x[:n_rows].astype(jnp.float32)
+    if partial:
+        x32 = jnp.where(row_valid, x32, 0.0)
     if stats is not None:
-        mean_pre = jnp.where(row_valid, stats[:, 2 * heads:2 * heads + 1],
-                             0.0)
-        inv_pre = jnp.where(row_valid, stats[:, 2 * heads + 1:2 * heads + 2],
-                            1.0)
+        mean_pre = stats[:, 2 * heads:2 * heads + 1]
+        inv_pre = stats[:, 2 * heads + 1:2 * heads + 2]
+        if partial:
+            mean_pre = jnp.where(row_valid, mean_pre, 0.0)
+            inv_pre = jnp.where(row_valid, inv_pre, 1.0)
         xhat_pre = (x32 - mean_pre) * inv_pre
         # the recompute-backward variant passes stats but NOT a stored qkv:
         # it still needs xn for the qkv dot (elementwise from the stats)
@@ -178,17 +202,24 @@ def _fwd_common(x, gpre32, wqkv, mask_row, scale, causal, heads, dim_head,
         qkv = _dot(xn, wqkv).astype(x.dtype)      # (n_rows, 3·h·d)
     else:
         xn = None
-        qkv = jnp.where(row_valid, qkv[:n_rows], 0).astype(x.dtype)
+        qkv = qkv[:n_rows]
+        if partial:
+            qkv = jnp.where(row_valid, qkv, 0)
+        qkv = qkv.astype(x.dtype)
     mask_row = mask_row[:, :n_rows]               # keys exist for n_rows only
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, n_rows), 1)
-    mask_row = jnp.where(col_iota < n_real, mask_row, 0)
+    if partial:
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, n_rows), 1)
+        mask_row = jnp.where(col_iota < n_real, mask_row, 0)
     dead = uniform = None
     if maybe_dead:
         dead, uniform = _dead_rows(mask_row, causal, n_rows, n_real)
     hd = heads * dim_head
     if stats is not None:
-        sm_m = jnp.where(row_valid, stats[:, 0:heads], 0.0)
-        sm_l = jnp.where(row_valid, stats[:, heads:2 * heads], 1.0)
+        sm_m = stats[:, 0:heads]
+        sm_l = stats[:, heads:2 * heads]
+        if partial:
+            sm_m = jnp.where(row_valid, sm_m, 0.0)
+            sm_l = jnp.where(row_valid, sm_l, 1.0)
     po = []
     ms, ls = [], []
     for h in range(heads):
@@ -338,13 +369,18 @@ def _bwd_kernel_stored(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref,
         dim_head, n_rows, eps, n_real, maybe_dead,
         qkv=qkv_ref[0][:n_rows], need_o=False, stats=stats32)
     # garbage rows would poison every row-contracted accumulation
-    attnout = jnp.where(row_valid, attnout_ref[0][:n_rows], 0)
-    do = jnp.where(row_valid, do_ref[0][:n_rows].astype(jnp.float32), 0.0)
-    proj = jnp.where(row_valid, proj_ref[0][:n_rows], 0).astype(jnp.float32)
-    mean_o = jnp.where(row_valid, stats32[:, 2 * heads + 2:2 * heads + 3],
-                       0.0)
-    inv_o = jnp.where(row_valid, stats32[:, 2 * heads + 3:2 * heads + 4],
-                      1.0)
+    # (row_valid is None when there are none — _fwd_common's static test)
+    attnout = attnout_ref[0][:n_rows]
+    do = do_ref[0][:n_rows].astype(jnp.float32)
+    proj = proj_ref[0][:n_rows].astype(jnp.float32)
+    mean_o = stats32[:, 2 * heads + 2:2 * heads + 3]
+    inv_o = stats32[:, 2 * heads + 3:2 * heads + 4]
+    if row_valid is not None:
+        attnout = jnp.where(row_valid, attnout, 0)
+        do = jnp.where(row_valid, do, 0.0)
+        proj = jnp.where(row_valid, proj, 0.0)
+        mean_o = jnp.where(row_valid, mean_o, 0.0)
+        inv_o = jnp.where(row_valid, inv_o, 1.0)
     xhat_o = (proj - mean_o) * inv_o
 
     dproj, dg_out = _ln_bwd(do, xhat_o, inv_o, gout32)
@@ -353,14 +389,15 @@ def _bwd_kernel_stored(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref,
     dattn = _dot(dproj.astype(x.dtype), wout_ref[...], tb=True)
     dwout_ref[...] += _dot(attnout, dproj.astype(x.dtype), ta=True)
 
+    delta_all = _delta_all_heads(dattn, attnout, heads, dim_head, scale)
     dqkv_parts_q, dqkv_parts_k, dqkv_parts_v = [], [], []
     for h in range(heads):
         q, k, v, p, _ = po[h]
-        o = attnout[:, h * dim_head:(h + 1) * dim_head].astype(jnp.float32)
         do_h = dattn[:, h * dim_head:(h + 1) * dim_head].astype(jnp.float32)
-        delta = jnp.sum(do_h * o, axis=-1, keepdims=True)
-        dp = _dot(do_h.astype(v.dtype), v, tb=True)
-        ds = p * (dp - delta) * scale
+        # dp and delta carry the softmax scale already (folded into do_h /
+        # the delta dot) — saves one n×n multiply per head
+        dp = _dot((do_h * scale).astype(v.dtype), v, tb=True)
+        ds = p * (dp - delta_all[:, h:h + 1])
         if maybe_dead:
             ds = jnp.where(dead, 0.0, ds)
         ds = ds.astype(x.dtype)
@@ -410,13 +447,17 @@ def _bwd_kernel(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref, mask_ref,
             x, gpre32, wqkv_ref[...], mask_ref[0], scale, causal, heads,
             dim_head, n_rows, eps, n_real, maybe_dead, stats=stats32)
     # garbage do rows would poison every row-contracted accumulation
-    do = jnp.where(row_valid, do_ref[0][:n_rows].astype(jnp.float32), 0.0)
+    # (row_valid is None when there are none — _fwd_common's static test)
+    do = do_ref[0][:n_rows].astype(jnp.float32)
+    if row_valid is not None:
+        do = jnp.where(row_valid, do, 0.0)
     # recompute the projection; its LN stats come stored
     proj = _dot(attnout, wout_ref[...])
-    mean_o = jnp.where(row_valid, stats32[:, 2 * heads + 2:2 * heads + 3],
-                       0.0)
-    inv_o = jnp.where(row_valid, stats32[:, 2 * heads + 3:2 * heads + 4],
-                      1.0)
+    mean_o = stats32[:, 2 * heads + 2:2 * heads + 3]
+    inv_o = stats32[:, 2 * heads + 3:2 * heads + 4]
+    if row_valid is not None:
+        mean_o = jnp.where(row_valid, mean_o, 0.0)
+        inv_o = jnp.where(row_valid, inv_o, 1.0)
     xhat_o = (proj - mean_o) * inv_o
 
     # out LayerNorm backward (residual handled at the end)
@@ -428,13 +469,15 @@ def _bwd_kernel(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref, mask_ref,
 
     # per-head attention backward using the forward-saved lse is implicit:
     # p was recomputed above with the identical max/normalizer math
+    delta_all = _delta_all_heads(dattn, attnout, heads, dim_head, scale)
     dqkv_parts_q, dqkv_parts_k, dqkv_parts_v = [], [], []
     for h in range(heads):
         q, k, v, p, o = po[h]
         do_h = dattn[:, h * dim_head:(h + 1) * dim_head].astype(jnp.float32)
-        delta = jnp.sum(do_h * o, axis=-1, keepdims=True)
-        dp = _dot(do_h.astype(v.dtype), v, tb=True)
-        ds = p * (dp - delta) * scale
+        # dp/delta carry the softmax scale (folded into do_h / the delta
+        # dot) — saves one n×n multiply per head
+        dp = _dot((do_h * scale).astype(v.dtype), v, tb=True)
+        ds = p * (dp - delta_all[:, h:h + 1])
         if maybe_dead:
             # XLA-parity: a dead row's scores all come from the masked
             # branch of `where`, which passes NO gradient — dq/dk are zero
