@@ -84,8 +84,12 @@ def bench_ff(store_h, label, note=""):
             lambda a, b, c, d_, e: ffb.ff_block(a, b, c, d_, e,
                                                 256, 512, None, store_h),
             x, gp, wi, gi, wo)
-        dx, *_ = vjp(do_)
-        return (dx * 0.125).astype(DTYPE)
+        dx, dgp, dwi, dgi, dwo = vjp(do_)
+        # fold EVERY gradient into the carry: using only dx lets XLA DCE
+        # the whole dW pass (pallas outputs with no consumers)
+        other = (jnp.sum(dgp) + jnp.sum(dwi) + jnp.sum(dgi)
+                 + jnp.sum(dwo)).astype(jnp.float32)
+        return (dx * 0.125 + other * 1e-20).astype(DTYPE)
 
     ms = chain_time(step, do)
     report(label, ms, note)
@@ -167,8 +171,10 @@ def bench_attn(label, note=""):
                 a, b, c, d_, e, mask, HEADS, DIM_HEAD, scale,
                 False, None, False, True),
             x, gp, wqkv, wout, go)
-        dx, *_ = vjp(do_)
-        return (dx * 0.125).astype(DTYPE)
+        dx, dgp, dwqkv, dwout, dgo = vjp(do_)
+        other = (jnp.sum(dgp) + jnp.sum(dwqkv) + jnp.sum(dwout)
+                 + jnp.sum(dgo)).astype(jnp.float32)
+        return (dx * 0.125 + other * 1e-20).astype(DTYPE)
 
     report(label, chain_time(step, do), note)
 

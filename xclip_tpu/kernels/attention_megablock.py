@@ -299,8 +299,12 @@ def _fwd_kernel_stats(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref,
     y32 = (c_o * inv_o) * gout32
     o_ref[0, :n_rows] = y32.astype(o_ref.dtype) + x[:n_rows]
     mean_pre, inv_pre, ms, ls = stats_parts
-    stats_ref[0, :n_rows] = jnp.concatenate(
-        ms + ls + [mean_pre, inv_pre, mean_o, inv_o], axis=-1)
+    # stats are stored TRANSPOSED, (n_stats, n): a (n, n_stats) layout
+    # pads the 2·heads+4 lanes to 128 (6.4× HBM/DMA waste); as rows they
+    # pad only the sublane dim, at the cost of one small transpose here
+    # and one in the backward
+    stats_ref[0, :, :n_rows] = jnp.concatenate(
+        ms + ls + [mean_pre, inv_pre, mean_o, inv_o], axis=-1).T
 
 
 def _fwd_kernel_stored(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref,
@@ -332,8 +336,12 @@ def _fwd_kernel_stored(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref,
     y32 = (c_o * inv_o) * gout32
     o_ref[0, :n_rows] = y32.astype(o_ref.dtype) + x[:n_rows]
     mean_pre, inv_pre, ms, ls = stats_parts
-    stats_ref[0, :n_rows] = jnp.concatenate(
-        ms + ls + [mean_pre, inv_pre, mean_o, inv_o], axis=-1)
+    # stats are stored TRANSPOSED, (n_stats, n): a (n, n_stats) layout
+    # pads the 2·heads+4 lanes to 128 (6.4× HBM/DMA waste); as rows they
+    # pad only the sublane dim, at the cost of one small transpose here
+    # and one in the backward
+    stats_ref[0, :, :n_rows] = jnp.concatenate(
+        ms + ls + [mean_pre, inv_pre, mean_o, inv_o], axis=-1).T
 
 
 def _bwd_kernel_stored(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref,
@@ -362,7 +370,7 @@ def _bwd_kernel_stored(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref,
     gpre32 = gpre_ref[...].astype(jnp.float32)
     gout32 = gout_ref[...].astype(jnp.float32)
     hd = heads * dim_head
-    stats32 = stats_ref[0][:n_rows]
+    stats32 = stats_ref[0][:, :n_rows].T        # stored (n_stats, n)
 
     xhat_pre, inv_pre, _, _, po, _, dead, row_valid, _ = _fwd_common(
         x, gpre32, wqkv_ref[...], mask_ref[0], scale, causal, heads,
@@ -440,7 +448,7 @@ def _bwd_kernel(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref, mask_ref,
     gpre32 = gpre_ref[...].astype(jnp.float32)
     gout32 = gout_ref[...].astype(jnp.float32)
     hd = heads * dim_head
-    stats32 = stats_ref[0][:n_rows]
+    stats32 = stats_ref[0][:, :n_rows].T
 
     xhat_pre, inv_pre, xn, qkv, po, attnout, dead, row_valid, _ = \
         _fwd_common(
@@ -558,18 +566,20 @@ def _mega_fwd(x, g_pre, w_qkv, w_out, g_out, mask,
                      pl.BlockSpec((1, n_pad, 3 * hd), lambda i: (i, 0, 0)),
                      pl.BlockSpec((1, n_pad, hd), lambda i: (i, 0, 0)),
                      pl.BlockSpec((1, n_pad, dim), lambda i: (i, 0, 0)),
-                     pl.BlockSpec((1, n_pad, n_stats), lambda i: (i, 0, 0))]
+                     pl.BlockSpec((1, n_stats, n_pad), lambda i: (i, 0, 0))]
         out_shape = [out_shape,
                      jax.ShapeDtypeStruct((b, n, 3 * hd), x.dtype),
                      jax.ShapeDtypeStruct((b, n, hd), x.dtype),
                      jax.ShapeDtypeStruct((b, n, dim), x.dtype),
-                     jax.ShapeDtypeStruct((b, n, n_stats), jnp.float32)]
+                     jax.ShapeDtypeStruct((b, n_stats, n), jnp.float32)]
     else:
-        # recompute variant: out + fp32 row stats only (VERDICT r4 #2)
+        # recompute variant: out + fp32 row stats only (VERDICT r4 #2);
+        # stats transposed (n_stats, n) — lane-padding a 20-wide last dim
+        # to 128 wastes 6.4x HBM/DMA
         out_specs = [out_specs,
-                     pl.BlockSpec((1, n_pad, n_stats), lambda i: (i, 0, 0))]
+                     pl.BlockSpec((1, n_stats, n_pad), lambda i: (i, 0, 0))]
         out_shape = [out_shape,
-                     jax.ShapeDtypeStruct((b, n, n_stats), jnp.float32)]
+                     jax.ShapeDtypeStruct((b, n_stats, n), jnp.float32)]
     res = pl.pallas_call(
         functools.partial(kernel, scale=scale, causal=causal,
                           heads=heads, dim_head=dim_head, n_rows=n_rows,
@@ -636,7 +646,7 @@ def _mega_bwd_vjp(heads, dim_head, scale, causal, interpret, maybe_dead,
             pl.BlockSpec((1, n_pad, 3 * hd), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, n_pad, hd), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, n_pad, dim), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, n_pad, n_stats), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, n_stats, n_pad), lambda i: (i, 0, 0)),
         ]
         args += [qkv, attnout, proj, stats]
         dx, dqkv, dwout, dgpre, dgout = pl.pallas_call(
@@ -669,8 +679,9 @@ def _mega_bwd_vjp(heads, dim_head, scale, causal, interpret, maybe_dead,
         # The pre-LN is elementwise from the forward-stored stats (bitwise
         # the kernel's mean/inv) — no XLA re-reduction over x.
         gpre32 = g_pre.astype(jnp.float32)
-        mean_pre = stats[..., 2 * heads:2 * heads + 1]
-        inv_pre = stats[..., 2 * heads + 1:2 * heads + 2]
+        # stats are (b, n_stats, n): row 2h = mean_pre, 2h+1 = inv_pre
+        mean_pre = stats[:, 2 * heads, :, None]
+        inv_pre = stats[:, 2 * heads + 1, :, None]
         xn = ((x_p.astype(jnp.float32) - mean_pre) * inv_pre) * gpre32
         dwqkv = jax.lax.dot_general(
             xn.astype(x_p.dtype), dqkv,
@@ -680,7 +691,7 @@ def _mega_bwd_vjp(heads, dim_head, scale, causal, interpret, maybe_dead,
         (stats,) = qkv
         n_stats = 2 * heads + 4
         in_specs += [
-            pl.BlockSpec((1, n_pad, n_stats), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, n_stats, n_pad), lambda i: (i, 0, 0)),
         ]
         args += [stats]
         dx, dwqkv, dwout, dgpre, dgout = pl.pallas_call(

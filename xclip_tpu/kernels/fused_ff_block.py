@@ -92,6 +92,37 @@ def _gelu_val_grad(b):
     return b * phi, phi + b * pdf
 
 
+def _stats_transposed(block_rows):
+    """Whether the packed per-row stats use the TRANSPOSED (k, rows)
+    layout. A (rows, k) fp32 output/input gets the T(8,128) tiled layout —
+    the lane dim pads k=4 → 128, a 32× HBM/DMA expansion (measured fatal
+    at the 2048-local-batch shard: 4 stats × 6 layers ≈ 6.5 GB of
+    padding). Stats-as-ROWS pad only the sublane dim (k → 8), a ≤2× cost,
+    at the price of one small in-kernel transpose per tile.
+
+    BUT Mosaic requires a block's lane dim to be 128-divisible (or equal
+    to the full array dim), and the transposed tile's lane dim is the ROW
+    block: the forward tile, its half (backward pass 1), and its double
+    (stored pass 2) must all stay 128-divisible, i.e. block_rows % 256
+    == 0 — true for the bf16 perf path (tile 256), false for fp32 inputs
+    (clamped to 128) and sub-tile row counts, which keep the legacy
+    (rows, k) layout: its lane padding is irrelevant at those shapes."""
+    return block_rows % 256 == 0
+
+
+def _pack_stats(cols, transposed):
+    """k (rows, 1) fp32 per-row statistics → ONE packed tensor:
+    (k, rows) if transposed else (rows, k). See _stats_transposed."""
+    cat = jnp.concatenate(cols, axis=1)
+    return cat.T if transposed else cat
+
+
+def _unpack_stats(st, transposed):
+    """Packed stats tile → k (block_rows, 1) columns."""
+    stT = st.T if transposed else st
+    return tuple(stT[:, i:i + 1] for i in range(stT.shape[1]))
+
+
 # ------------------------------------------------------------------ forward
 
 def _fwd_kernel(x_ref, gpre_ref, win_ref, gin_ref, wout_ref, o_ref,
@@ -115,20 +146,17 @@ def _fwd_kernel(x_ref, gpre_ref, win_ref, gin_ref, wout_ref, o_ref,
 
 
 def _fwd_kernel_stats(x_ref, gpre_ref, win_ref, gin_ref, wout_ref,
-                      o_ref, mp_ref, ip_ref, mi_ref, ii_ref,
-                      *, eps_pre, eps_in):
+                      o_ref, stats_ref, *, eps_pre, eps_in, stats_T):
     """Recompute-variant forward: emits out plus ONLY the four fp32 per-row
     LN statistics (no h) — 16 bytes/row of extra DMA buys the backward an
     elementwise stored-stat LayerNorm in both passes (VERDICT r4 #2). The
-    dead h downcast inside _fwd_store_core is DCE'd by Mosaic."""
+    dead h downcast inside _fwd_store_core is DCE'd by Mosaic. Stats are
+    packed mp / ip / mi / ii (see _stats_transposed)."""
     out, _h, mp, ip, mi, ii = _fwd_store_core(
         x_ref[...], gpre_ref[...], win_ref[...], gin_ref[...], wout_ref[...],
         eps_pre, eps_in)
     o_ref[...] = out
-    mp_ref[...] = mp
-    ip_ref[...] = ip
-    mi_ref[...] = mi
-    ii_ref[...] = ii
+    stats_ref[...] = _pack_stats((mp, ip, mi, ii), stats_T)
 
 
 def _ff_block_fwd_call(x2, g_pre, w_in, g_inner, w_out, block_rows, interpret,
@@ -143,12 +171,19 @@ def _ff_block_fwd_call(x2, g_pre, w_in, g_inner, w_out, block_rows, interpret,
     out_shape = jax.ShapeDtypeStruct((rows, d), x2.dtype)
     kernel = functools.partial(_fwd_kernel, eps_pre=eps, eps_in=eps)
     if need_stats:
-        row_vec = lambda: pl.BlockSpec((block_rows, 1), lambda i: (i, 0))
-        stat_shape = lambda: jax.ShapeDtypeStruct((rows, 1), jnp.float32)
-        out_specs = [out_specs, row_vec(), row_vec(), row_vec(), row_vec()]
-        out_shape = [out_shape, stat_shape(), stat_shape(), stat_shape(),
-                     stat_shape()]
-        kernel = functools.partial(_fwd_kernel_stats, eps_pre=eps, eps_in=eps)
+        stats_T = _stats_transposed(block_rows)
+        if stats_T:
+            out_specs = [out_specs,
+                         pl.BlockSpec((4, block_rows), lambda i: (0, i))]
+            out_shape = [out_shape,
+                         jax.ShapeDtypeStruct((4, rows), jnp.float32)]
+        else:
+            out_specs = [out_specs,
+                         pl.BlockSpec((block_rows, 4), lambda i: (i, 0))]
+            out_shape = [out_shape,
+                         jax.ShapeDtypeStruct((rows, 4), jnp.float32)]
+        kernel = functools.partial(_fwd_kernel_stats, eps_pre=eps, eps_in=eps,
+                                   stats_T=stats_T)
     return pl.pallas_call(
         kernel,
         grid=(nb,),
@@ -199,20 +234,16 @@ def _fwd_store_core(x, gpre, win, gin, wout, eps_pre, eps_in):
 
 
 def _fwd_kernel_store(x_ref, gpre_ref, win_ref, gin_ref, wout_ref,
-                      o_ref, h_ref, mp_ref, ip_ref, mi_ref, ii_ref,
-                      *, eps_pre, eps_in):
+                      o_ref, h_ref, stats_ref, *, eps_pre, eps_in, stats_T):
     """Forward that also emits h = LN(x)@w_in (storage dtype) and the four
-    fp32 per-row LN statistics for a recompute-free, reduction-free
-    backward."""
+    fp32 per-row LN statistics (packed — see _stats_transposed) for a
+    recompute-free, reduction-free backward."""
     out, h, mp, ip, mi, ii = _fwd_store_core(
         x_ref[...], gpre_ref[...], win_ref[...], gin_ref[...], wout_ref[...],
         eps_pre, eps_in)
     o_ref[...] = out
     h_ref[...] = h
-    mp_ref[...] = mp
-    ip_ref[...] = ip
-    mi_ref[...] = mi
-    ii_ref[...] = ii
+    stats_ref[...] = _pack_stats((mp, ip, mi, ii), stats_T)
 
 
 def _fwd_store_geglu_core(x, gpre, win, gin, wout, eps_pre, eps_in):
@@ -255,9 +286,8 @@ def _fwd_store_geglu_core(x, gpre, win, gin, wout, eps_pre, eps_in):
 
 
 def _fwd_kernel_store_geglu(x_ref, gpre_ref, win_ref, gin_ref, wout_ref,
-                            o_ref, prod_ref, gb_ref, agdb_ref,
-                            mp_ref, ip_ref, mi_ref, ii_ref,
-                            *, eps_pre, eps_in):
+                            o_ref, prod_ref, gb_ref, agdb_ref, stats_ref,
+                            *, eps_pre, eps_in, stats_T):
     out, prod, gb, agdb, mp, ip, mi, ii = _fwd_store_geglu_core(
         x_ref[...], gpre_ref[...], win_ref[...], gin_ref[...], wout_ref[...],
         eps_pre, eps_in)
@@ -265,10 +295,7 @@ def _fwd_kernel_store_geglu(x_ref, gpre_ref, win_ref, gin_ref, wout_ref,
     prod_ref[...] = prod
     gb_ref[...] = gb
     agdb_ref[...] = agdb
-    mp_ref[...] = mp
-    ip_ref[...] = ip
-    mi_ref[...] = mi
-    ii_ref[...] = ii
+    stats_ref[...] = _pack_stats((mp, ip, mi, ii), stats_T)
 
 
 def _ff_block_fwd_store_call(x2, g_pre, w_in, g_inner, w_out, block_rows,
@@ -279,17 +306,23 @@ def _ff_block_fwd_store_call(x2, g_pre, w_in, g_inner, w_out, block_rows,
     eps = _eps_for(x2.dtype)
     nb = rows // block_rows
 
-    row_vec = lambda: pl.BlockSpec((block_rows, 1), lambda i: (i, 0))
-    stat_shape = lambda: jax.ShapeDtypeStruct((rows, 1), jnp.float32)
+    stats_T = _stats_transposed(block_rows)
+    if stats_T:
+        stats_spec = pl.BlockSpec((4, block_rows), lambda i: (0, i))
+        stats_shape = jax.ShapeDtypeStruct((4, rows), jnp.float32)
+    else:
+        stats_spec = pl.BlockSpec((block_rows, 4), lambda i: (i, 0))
+        stats_shape = jax.ShapeDtypeStruct((rows, 4), jnp.float32)
     if geglu:
         kernel = functools.partial(_fwd_kernel_store_geglu,
-                                   eps_pre=eps, eps_in=eps)
+                                   eps_pre=eps, eps_in=eps, stats_T=stats_T)
         act_specs = [pl.BlockSpec((block_rows, inner), lambda i: (i, 0))
                      for _ in range(3)]
         act_shape = [jax.ShapeDtypeStruct((rows, inner), x2.dtype)
                      for _ in range(3)]
     else:
-        kernel = functools.partial(_fwd_kernel_store, eps_pre=eps, eps_in=eps)
+        kernel = functools.partial(_fwd_kernel_store, eps_pre=eps, eps_in=eps,
+                                   stats_T=stats_T)
         act_specs = [pl.BlockSpec((block_rows, two_inner), lambda i: (i, 0))]
         act_shape = [jax.ShapeDtypeStruct((rows, two_inner), x2.dtype)]
     return pl.pallas_call(
@@ -305,12 +338,12 @@ def _ff_block_fwd_store_call(x2, g_pre, w_in, g_inner, w_out, block_rows,
         out_specs=[
             pl.BlockSpec((block_rows, d), lambda i: (i, 0)),
             *act_specs,
-            row_vec(), row_vec(), row_vec(), row_vec(),
+            stats_spec,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((rows, d), x2.dtype),
             *act_shape,
-            stat_shape(), stat_shape(), stat_shape(), stat_shape(),
+            stats_shape,
         ],
         interpret=interpret,
     )(x2, g_pre[None, :], w_in, g_inner[None, :], w_out)
@@ -319,10 +352,10 @@ def _ff_block_fwd_store_call(x2, g_pre, w_in, g_inner, w_out, block_rows,
 # ---------------------------------------------------- backward pass 1 (dx)
 
 def _bwd_dx_kernel(x_ref, gpre_ref, win_ref, gin_ref, wout_ref, do_ref,
-                   mp_ref, ip_ref, mi_ref, ii_ref,
-                   dx_ref, m1_ref, m2_ref,
+                   stats_ref,
+                   dx_ref, m12_ref,
                    dgpre_ref, dgin_ref,
-                   dgpre_scr, dgin_scr, *, num_blocks):
+                   dgpre_scr, dgin_scr, *, num_blocks, stats_T):
     """Recompute pass 1 with the forward-stored LN statistics (mp/ip/mi/ii):
     the x@w_in matmul and GEGLU are still recomputed tile-wise (no
     O(rows·inner) residual — the memory-lean contract), but both LayerNorms
@@ -345,8 +378,9 @@ def _bwd_dx_kernel(x_ref, gpre_ref, win_ref, gin_ref, wout_ref, do_ref,
 
     # recompute forward up to the inner normalized activation, LNs from
     # the stored stats
+    mp, ip, mi, ii = _unpack_stats(stats_ref[...], stats_T)
     x32 = x.astype(jnp.float32)
-    xhat_pre = (x32 - mp_ref[...]) * ip_ref[...]
+    xhat_pre = (x32 - mp) * ip
     xn = (xhat_pre * gpre32).astype(x.dtype)
     h = jax.lax.dot_general(xn, win_ref[...], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
@@ -354,8 +388,8 @@ def _bwd_dx_kernel(x_ref, gpre_ref, win_ref, gin_ref, wout_ref, do_ref,
     a, b = h[:, :inner], h[:, inner:]
     gelu_b, gelu_db = _gelu_val_grad(b)
     prod = a * gelu_b
-    inv_in = ii_ref[...]
-    xhat_in = (prod - mi_ref[...]) * inv_in
+    inv_in = ii
+    xhat_in = (prod - mi) * inv_in
 
     # d(inner normalized · g) = do @ w_out^T
     dy = jax.lax.dot_general(do, wout_ref[...],
@@ -369,9 +403,9 @@ def _bwd_dx_kernel(x_ref, gpre_ref, win_ref, gin_ref, wout_ref, do_ref,
     m2 = jnp.mean(dyg * xhat_in, axis=-1, keepdims=True)
     dprod = inv_in * (dyg - m1 - xhat_in * m2)
 
-    # emit the cotangent-dependent per-row terms for the dW pass
-    m1_ref[...] = m1
-    m2_ref[...] = m2
+    # emit the cotangent-dependent per-row terms for the dW pass (packed
+    # — see _stats_transposed)
+    m12_ref[...] = _pack_stats((m1, m2), stats_T)
 
     # GEGLU backward → dh, then dxn = dh @ w_in^T
     da = dprod * gelu_b
@@ -386,7 +420,7 @@ def _bwd_dx_kernel(x_ref, gpre_ref, win_ref, gin_ref, wout_ref, do_ref,
     dyg2 = dxn * gpre32
     p1 = jnp.mean(dyg2, axis=-1, keepdims=True)
     p2 = jnp.mean(dyg2 * xhat_pre, axis=-1, keepdims=True)
-    dx = ip_ref[...] * (dyg2 - p1 - xhat_pre * p2) + do32
+    dx = ip * (dyg2 - p1 - xhat_pre * p2) + do32
     dx_ref[...] = dx.astype(dx_ref.dtype)
 
     @pl.when(i == num_blocks - 1)
@@ -442,9 +476,10 @@ def _p1_stored_core(x, do, gpre, gin, win, wout, h_raw, mp, ip, mi, ii):
 
 
 def _bwd_dx_kernel_stored(x_ref, gpre_ref, win_ref, gin_ref, wout_ref,
-                          do_ref, h_ref, mp_ref, ip_ref, mi_ref, ii_ref,
+                          do_ref, h_ref, stats_ref,
                           dx_ref, dprod_ref, dgpre_ref, dgin_ref,
-                          dgpre_scr, dgin_scr, *, num_blocks, row_split=1):
+                          dgpre_scr, dgin_scr, *, num_blocks, stats_T,
+                          row_split=1):
     """Pass 1 with the forward-stored h and LN statistics: identical math
     to _bwd_dx_kernel but the x@w_in recompute is replaced by a read of h
     and every cotangent-independent row reduction (pre-LN mean/var of x,
@@ -467,12 +502,13 @@ def _bwd_dx_kernel_stored(x_ref, gpre_ref, win_ref, gin_ref, wout_ref,
     rows = x_ref.shape[0]
     assert rows % row_split == 0
     step = rows // row_split
+    mp_a, ip_a, mi_a, ii_a = _unpack_stats(stats_ref[...], stats_T)
     for s in range(row_split):
         sl = slice(s * step, (s + 1) * step)
         dx, dprod, dgpre_t, dgin_t = _p1_stored_core(
             x_ref[sl], do_ref[sl], gpre_ref[...], gin_ref[...],
             win_ref[...], wout_ref[...], h_ref[sl],
-            mp_ref[sl], ip_ref[sl], mi_ref[sl], ii_ref[sl])
+            mp_a[sl], ip_a[sl], mi_a[sl], ii_a[sl])
         dx_ref[sl] = dx
         dprod_ref[sl] = dprod
         dgpre_scr[...] += dgpre_t
@@ -525,10 +561,9 @@ def _p1_geglu_core(x, do, gpre, gin, win, wout, prod_raw, gb_raw, agdb_raw,
 
 
 def _bwd_dx_kernel_geglu(x_ref, gpre_ref, win_ref, gin_ref, wout_ref,
-                         do_ref, prod_ref, gb_ref, agdb_ref,
-                         mp_ref, ip_ref, mi_ref, ii_ref,
+                         do_ref, prod_ref, gb_ref, agdb_ref, stats_ref,
                          dx_ref, dprod_ref, dgpre_ref, dgin_ref,
-                         dgpre_scr, dgin_scr, *, num_blocks):
+                         dgpre_scr, dgin_scr, *, num_blocks, stats_T):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -536,10 +571,11 @@ def _bwd_dx_kernel_geglu(x_ref, gpre_ref, win_ref, gin_ref, wout_ref,
         dgpre_scr[...] = jnp.zeros_like(dgpre_scr)
         dgin_scr[...] = jnp.zeros_like(dgin_scr)
 
+    mp, ip, mi, ii = _unpack_stats(stats_ref[...], stats_T)
     dx, dprod, dgpre_t, dgin_t = _p1_geglu_core(
         x_ref[...], do_ref[...], gpre_ref[...], gin_ref[...],
         win_ref[...], wout_ref[...], prod_ref[...], gb_ref[...],
-        agdb_ref[...], mp_ref[...], ip_ref[...], mi_ref[...], ii_ref[...])
+        agdb_ref[...], mp, ip, mi, ii)
     dx_ref[...] = dx
     dprod_ref[...] = dprod
     dgpre_scr[...] += dgpre_t
@@ -554,10 +590,10 @@ def _bwd_dx_kernel_geglu(x_ref, gpre_ref, win_ref, gin_ref, wout_ref,
 # ---------------------------------------------------- backward pass 2 (dW)
 
 def _bwd_dw_kernel(x_ref, gpre_ref, wina_ref, winb_ref, gin_ref, wout_ref,
-                   do_ref, mean_ref, inv_ref, m1_ref, m2_ref, mp_ref, ip_ref,
+                   do_ref, stats_ref, m12_ref,
                    dwina_ref, dwinb_ref, dwout_ref,
                    dwina_scr, dwinb_scr, dwout_scr,
-                   *, num_row_blocks):
+                   *, num_row_blocks, stats_T):
     r = pl.program_id(1)
 
     @pl.when(r == 0)
@@ -570,15 +606,13 @@ def _bwd_dw_kernel(x_ref, gpre_ref, wina_ref, winb_ref, gin_ref, wout_ref,
     do = do_ref[...]
     gpre32 = gpre_ref[...].astype(jnp.float32)
     gin32 = gin_ref[...].astype(jnp.float32)        # (1, cb) column slice
-    mean_in = mean_ref[...]                         # (rows, 1) fp32 each
-    inv_in = inv_ref[...]
-    m1 = m1_ref[...]
-    m2 = m2_ref[...]
+    mp, ip, mean_in, inv_in = _unpack_stats(stats_ref[...], stats_T)
+    m1, m2 = _unpack_stats(m12_ref[...], stats_T)
 
     # pre-LN from the forward-stored stats: without this the kernel
     # re-reduced the x tile once per COLUMN block (×ncb)
     x32 = x.astype(jnp.float32)
-    xn = (((x32 - mp_ref[...]) * ip_ref[...]) * gpre32).astype(x.dtype)
+    xn = (((x32 - mp) * ip) * gpre32).astype(x.dtype)
 
     # recompute only this column block of the inner activations
     a = jax.lax.dot_general(xn, wina_ref[...], (((1,), (0,)), ((), ())),
@@ -646,11 +680,10 @@ def _p2_stored_core(x, do, gpre, gin_slice, ha, hb, dprod_raw,
 
 
 def _bwd_dw_kernel_stored(x_ref, gpre_ref, gin_ref, do_ref,
-                          ha_ref, hb_ref, dprod_ref,
-                          mean_ref, inv_ref, mp_ref, ip_ref,
+                          ha_ref, hb_ref, dprod_ref, stats_ref,
                           dwina_ref, dwinb_ref, dwout_ref,
                           dwina_scr, dwinb_scr, dwout_scr,
-                          *, num_row_blocks):
+                          *, num_row_blocks, stats_T):
     """Pass 2 with the forward-stored h, LN statistics, and pass-1-stored
     dprod: the per-column-block a/b recompute (two x@w_in slices) becomes
     reads of h's column slices, the dy = do@w_out^T dot and inner-LN
@@ -664,10 +697,11 @@ def _bwd_dw_kernel_stored(x_ref, gpre_ref, gin_ref, do_ref,
         dwinb_scr[...] = jnp.zeros_like(dwinb_scr)
         dwout_scr[...] = jnp.zeros_like(dwout_scr)
 
+    mp, ip, mi, ii = _unpack_stats(stats_ref[...], stats_T)
     dwina, dwinb, dwout = _p2_stored_core(
         x_ref[...], do_ref[...], gpre_ref[...], gin_ref[...],
         ha_ref[...], hb_ref[...], dprod_ref[...],
-        mean_ref[...], inv_ref[...], mp_ref[...], ip_ref[...])
+        mi, ii, mp, ip)
     dwina_scr[...] += dwina
     dwinb_scr[...] += dwinb
     dwout_scr[...] += dwout
@@ -708,11 +742,10 @@ def _p2_geglu_core(x, do, gpre, gin_slice, prod_s, gb_s, agdb_s, dprod_raw,
 
 
 def _bwd_dw_kernel_geglu(x_ref, gpre_ref, gin_ref, do_ref,
-                         prod_ref, gb_ref, agdb_ref, dprod_ref,
-                         mean_ref, inv_ref, mp_ref, ip_ref,
+                         prod_ref, gb_ref, agdb_ref, dprod_ref, stats_ref,
                          dwina_ref, dwinb_ref, dwout_ref,
                          dwina_scr, dwinb_scr, dwout_scr,
-                         *, num_row_blocks):
+                         *, num_row_blocks, stats_T):
     r = pl.program_id(1)
 
     @pl.when(r == 0)
@@ -721,10 +754,11 @@ def _bwd_dw_kernel_geglu(x_ref, gpre_ref, gin_ref, do_ref,
         dwinb_scr[...] = jnp.zeros_like(dwinb_scr)
         dwout_scr[...] = jnp.zeros_like(dwout_scr)
 
+    mp, ip, mi, ii = _unpack_stats(stats_ref[...], stats_T)
     dwina, dwinb, dwout = _p2_geglu_core(
         x_ref[...], do_ref[...], gpre_ref[...], gin_ref[...],
         prod_ref[...], gb_ref[...], agdb_ref[...], dprod_ref[...],
-        mean_ref[...], inv_ref[...], mp_ref[...], ip_ref[...])
+        mi, ii, mp, ip)
     dwina_scr[...] += dwina
     dwinb_scr[...] += dwinb
     dwout_scr[...] += dwout
@@ -809,37 +843,37 @@ def _ff_block_fwd(x, g_pre, w_in, g_inner, w_out,
                                  block_rows, interpret)
         return out[:rows].reshape(x.shape), None
     if store_h == 'geglu':
-        out, prod2, gb2, agdb2, mp, ip, mi, ii = _ff_block_fwd_store_call(
+        out, prod2, gb2, agdb2, stats = _ff_block_fwd_store_call(
             x2, g_pre, w_in, g_inner, w_out, block_rows, interpret,
             geglu=True)
         return (out[:rows].reshape(x.shape),
                 (x, g_pre, w_in, g_inner, w_out,
-                 (prod2, gb2, agdb2, mp, ip, mi, ii)))
+                 (prod2, gb2, agdb2, stats)))
     if store_h:
-        out, h2, mp, ip, mi, ii = _ff_block_fwd_store_call(
+        out, h2, stats = _ff_block_fwd_store_call(
             x2, g_pre, w_in, g_inner, w_out, block_rows, interpret)
         # h/stats stay flat-padded: the backward re-pads x to the same layout
         return (out[:rows].reshape(x.shape),
-                (x, g_pre, w_in, g_inner, w_out, (h2, mp, ip, mi, ii)))
+                (x, g_pre, w_in, g_inner, w_out, (h2, stats)))
     # recompute variant: still emit the four fp32 per-row LN stats (16
-    # bytes/row) so both backward passes get elementwise LayerNorms
-    # (VERDICT r4 #2)
-    out, mp, ip, mi, ii = _ff_block_fwd_call(
+    # bytes/row, packed (4, rows)) so both backward passes get elementwise
+    # LayerNorms (VERDICT r4 #2)
+    out, stats = _ff_block_fwd_call(
         x2, g_pre, w_in, g_inner, w_out, block_rows, interpret,
         need_stats=True)
     return (out[:rows].reshape(x.shape),
-            (x, g_pre, w_in, g_inner, w_out, (mp, ip, mi, ii)))
+            (x, g_pre, w_in, g_inner, w_out, (stats,)))
 
 
 def _ff_block_bwd(block_rows, block_cols, interpret, store_h, res, dout):
     x, g_pre, w_in, g_inner, w_out, stored = res
     h2 = prod2 = gb2 = agdb2 = None
     if store_h == 'geglu':
-        prod2, gb2, agdb2, f_mp, f_ip, f_mi, f_ii = stored
+        prod2, gb2, agdb2, f_stats = stored
     elif store_h:
-        h2, f_mp, f_ip, f_mi, f_ii = stored
+        h2, f_stats = stored
     else:
-        f_mp, f_ip, f_mi, f_ii = stored
+        (f_stats,) = stored
     interpret = _resolve_interpret(interpret)
     block_rows, block_cols = _clamp_blocks(x, w_in, block_rows, block_cols)
     fwd_block_rows = block_rows
@@ -870,9 +904,21 @@ def _ff_block_bwd(block_rows, block_cols, interpret, store_h, res, dout):
         f"{fwd_block_rows}); pass a block_rows whose half divides it")
     nb = rows_pad // block_rows
     assert h2 is None or h2.shape[0] == rows_pad, (h2.shape, rows_pad)
-    assert f_mp.shape[0] == rows_pad, (f_mp.shape, rows_pad)
+    # the forward chose the stats layout from the SAME post-clamp tile
+    stats_T = _stats_transposed(fwd_block_rows)
+    expect = (4, rows_pad) if stats_T else (rows_pad, 4)
+    assert f_stats.shape == expect, (f_stats.shape, expect)
 
-    row_vec = lambda: pl.BlockSpec((block_rows, 1), lambda i: (i, 0))
+    if stats_T:
+        stats_spec = lambda k: pl.BlockSpec((k, block_rows),
+                                            lambda i: (0, i))
+        stats_shape = lambda k: jax.ShapeDtypeStruct((k, rows_pad),
+                                                     jnp.float32)
+    else:
+        stats_spec = lambda k: pl.BlockSpec((block_rows, k),
+                                            lambda i: (i, 0))
+        stats_shape = lambda k: jax.ShapeDtypeStruct((rows_pad, k),
+                                                     jnp.float32)
     dx_in_specs = [
         pl.BlockSpec((block_rows, d), lambda i: (i, 0)),
         pl.BlockSpec((1, d), lambda i: (0, 0)),
@@ -885,12 +931,13 @@ def _ff_block_bwd(block_rows, block_cols, interpret, store_h, res, dout):
     dx_out_specs = [pl.BlockSpec((block_rows, d), lambda i: (i, 0))]
     dx_out_shape = [jax.ShapeDtypeStruct((rows_pad, d), x.dtype)]
     if store_h == 'geglu':
-        kernel1 = functools.partial(_bwd_dx_kernel_geglu, num_blocks=nb)
+        kernel1 = functools.partial(_bwd_dx_kernel_geglu, num_blocks=nb,
+                                    stats_T=stats_T)
         inner_spec = lambda: pl.BlockSpec((block_rows, inner),
                                           lambda i: (i, 0))
         dx_in_specs += [inner_spec(), inner_spec(), inner_spec(),
-                        row_vec(), row_vec(), row_vec(), row_vec()]
-        dx_args += [prod2, gb2, agdb2, f_mp, f_ip, f_mi, f_ii]
+                        stats_spec(4)]
+        dx_args += [prod2, gb2, agdb2, f_stats]
         dx_out_specs.append(inner_spec())
         dx_out_shape.append(jax.ShapeDtypeStruct((rows_pad, inner), x.dtype))
     elif store_h:
@@ -903,25 +950,25 @@ def _ff_block_bwd(block_rows, block_cols, interpret, store_h, res, dout):
         if block_rows % row_split != 0:
             row_split = 1
         kernel1 = functools.partial(_bwd_dx_kernel_stored, num_blocks=nb,
-                                    row_split=row_split)
+                                    stats_T=stats_T, row_split=row_split)
         dx_in_specs += [
             pl.BlockSpec((block_rows, two_inner), lambda i: (i, 0)),
-            row_vec(), row_vec(), row_vec(), row_vec(),
+            stats_spec(4),
         ]
-        dx_args += [h2, f_mp, f_ip, f_mi, f_ii]
+        dx_args += [h2, f_stats]
         # extra output: dprod for the dW pass (no per-row stats to emit —
         # pass 2 reads the forward-stored ones)
         dx_out_specs.append(pl.BlockSpec((block_rows, inner), lambda i: (i, 0)))
         dx_out_shape.append(jax.ShapeDtypeStruct((rows_pad, inner), x.dtype))
     else:
-        kernel1 = functools.partial(_bwd_dx_kernel, num_blocks=nb)
-        dx_in_specs += [row_vec(), row_vec(), row_vec(), row_vec()]
-        dx_args += [f_mp, f_ip, f_mi, f_ii]
-        # extra outputs: only the cotangent-dependent m1/m2 (the LN
-        # mean/inv the dW pass needs are the forward-stored ones)
-        dx_out_specs += [row_vec(), row_vec()]
-        dx_out_shape += [jax.ShapeDtypeStruct((rows_pad, 1), jnp.float32)
-                         for _ in range(2)]
+        kernel1 = functools.partial(_bwd_dx_kernel, num_blocks=nb,
+                                    stats_T=stats_T)
+        dx_in_specs += [stats_spec(4)]
+        dx_args += [f_stats]
+        # extra output: only the cotangent-dependent m1/m2 (the LN
+        # mean/inv the dW pass needs are forward-stored)
+        dx_out_specs += [stats_spec(2)]
+        dx_out_shape += [stats_shape(2)]
     dx_out_specs += [
         pl.BlockSpec((1, d), lambda i: (0, 0)),
         pl.BlockSpec((1, inner), lambda i: (0, 0)),
@@ -944,11 +991,10 @@ def _ff_block_bwd(block_rows, block_cols, interpret, store_h, res, dout):
     )(*dx_args)
     if store_h:
         dx, dprod2, dgpre, dgin = outs
-        s_m1 = s_m2 = None
+        m12 = None
     else:
-        dx, s_m1, s_m2, dgpre, dgin = outs
+        dx, m12, dgpre, dgin = outs
         dprod2 = None
-    s_mean, s_inv = f_mi, f_ii
 
     # pass 2: dW over (column blocks × row blocks); columns of the inner dim
     # are independent given the per-row stats, so each column block
@@ -967,7 +1013,12 @@ def _ff_block_bwd(block_rows, block_cols, interpret, store_h, res, dout):
         block_rows2 = 2 * fwd_block_rows
     nb2 = rows_pad // block_rows2
 
-    stat_vec = lambda: pl.BlockSpec((block_rows2, 1), lambda j, r: (r, 0))
+    if stats_T:
+        stats_spec2 = lambda k: pl.BlockSpec((k, block_rows2),
+                                             lambda j, r: (0, r))
+    else:
+        stats_spec2 = lambda k: pl.BlockSpec((block_rows2, k),
+                                             lambda j, r: (r, 0))
     dw_out_specs = [
         pl.BlockSpec((d, block_cols), lambda j, r: (0, j)),
         pl.BlockSpec((d, block_cols), lambda j, r: (0, j)),
@@ -987,7 +1038,8 @@ def _ff_block_bwd(block_rows, block_cols, interpret, store_h, res, dout):
         cspec = lambda: pl.BlockSpec((block_rows2, block_cols),
                                      lambda j, r: (r, j))
         dwina, dwinb, dwout = pl.pallas_call(
-            functools.partial(_bwd_dw_kernel_geglu, num_row_blocks=nb2),
+            functools.partial(_bwd_dw_kernel_geglu, num_row_blocks=nb2,
+                              stats_T=stats_T),
             grid=(ncb, nb2),
             in_specs=[
                 pl.BlockSpec((block_rows2, d), lambda j, r: (r, 0)),
@@ -995,18 +1047,18 @@ def _ff_block_bwd(block_rows, block_cols, interpret, store_h, res, dout):
                 pl.BlockSpec((1, block_cols), lambda j, r: (0, j)),
                 pl.BlockSpec((block_rows2, d), lambda j, r: (r, 0)),
                 cspec(), cspec(), cspec(), cspec(),
-                stat_vec(), stat_vec(), stat_vec(), stat_vec(),
+                stats_spec2(4),
             ],
             out_specs=dw_out_specs,
             out_shape=dw_out_shape,
             scratch_shapes=dw_scratch,
             interpret=interpret,
         )(x2, g_pre[None, :], g_inner[None, :], do2,
-          prod2, gb2, agdb2, dprod2,
-          s_mean, s_inv, f_mp, f_ip)
+          prod2, gb2, agdb2, dprod2, f_stats)
     elif store_h:
         dwina, dwinb, dwout = pl.pallas_call(
-            functools.partial(_bwd_dw_kernel_stored, num_row_blocks=nb2),
+            functools.partial(_bwd_dw_kernel_stored, num_row_blocks=nb2,
+                              stats_T=stats_T),
             grid=(ncb, nb2),
             in_specs=[
                 pl.BlockSpec((block_rows2, d), lambda j, r: (r, 0)),
@@ -1018,18 +1070,19 @@ def _ff_block_bwd(block_rows, block_cols, interpret, store_h, res, dout):
                 pl.BlockSpec((block_rows2, block_cols),
                              lambda j, r: (r, j + ncb)),
                 pl.BlockSpec((block_rows2, block_cols), lambda j, r: (r, j)),
-                stat_vec(), stat_vec(), stat_vec(), stat_vec(),
+                stats_spec2(4),
             ],
             out_specs=dw_out_specs,
             out_shape=dw_out_shape,
             scratch_shapes=dw_scratch,
             interpret=interpret,
         )(x2, g_pre[None, :], g_inner[None, :], do2, h2, h2, dprod2,
-          s_mean, s_inv, f_mp, f_ip)
+          f_stats)
     else:
         w_in_a, w_in_b = w_in[:, :inner], w_in[:, inner:]
         dwina, dwinb, dwout = pl.pallas_call(
-            functools.partial(_bwd_dw_kernel, num_row_blocks=nb),
+            functools.partial(_bwd_dw_kernel, num_row_blocks=nb,
+                              stats_T=stats_T),
             grid=(ncb, nb),
             in_specs=[
                 pl.BlockSpec((block_rows, d), lambda j, r: (r, 0)),
@@ -1039,15 +1092,14 @@ def _ff_block_bwd(block_rows, block_cols, interpret, store_h, res, dout):
                 pl.BlockSpec((1, block_cols), lambda j, r: (0, j)),
                 pl.BlockSpec((block_cols, d), lambda j, r: (j, 0)),
                 pl.BlockSpec((block_rows, d), lambda j, r: (r, 0)),
-                stat_vec(), stat_vec(), stat_vec(), stat_vec(),
-                stat_vec(), stat_vec(),
+                stats_spec2(4), stats_spec2(2),
             ],
             out_specs=dw_out_specs,
             out_shape=dw_out_shape,
             scratch_shapes=dw_scratch,
             interpret=interpret,
         )(x2, g_pre[None, :], w_in_a, w_in_b, g_inner[None, :], w_out, do2,
-          s_mean, s_inv, s_m1, s_m2, f_mp, f_ip)
+          f_stats, m12)
 
     dw_in = jnp.concatenate([dwina, dwinb], axis=-1).astype(w_in.dtype)
     return (dx[:rows].reshape(x.shape),
