@@ -393,3 +393,91 @@ def test_shard_batch_rejects_indivisible_batch():
     st, si = shard_batch((text, image), mesh)
     assert st.sharding.spec[0] == "data"
     assert si.sharding.spec[0] == "data"
+
+
+# ---------------------------------------------------------------- pad & mask
+
+def _truncated_vs_padded(b_real=12, b_pad=16, **over):
+    """(truncated-batch loss, padded text/image/valid) for the same rows."""
+    clip = mock_clip(**over)
+    text, image = global_batch(b=b_pad, seed=3)
+    # padding rows are DIFFERENT real-looking examples — the mask, not the
+    # row contents, must make them invisible
+    valid = jnp.arange(b_pad) < b_real
+    loss_trunc = clip.model.apply(clip.params, text[:b_real], image[:b_real],
+                                  return_loss=True)
+    return clip, loss_trunc, text, image, valid
+
+
+@pytest.mark.fast
+@pytest.mark.parametrize("over", [dict(),
+                                  dict(decoupled_contrastive_learning=True)])
+def test_pad_and_mask_dense_matches_truncated(over):
+    """Pad-and-mask escape hatch (reference distributed.py:14-39 spirit):
+    a padded batch with row_valid scores EXACTLY the truncated batch of its
+    real rows — numerators, denominators, and the mean count all exclude
+    padding."""
+    clip, loss_trunc, text, image, valid = _truncated_vs_padded(**over)
+    loss_pad = clip.model.apply(clip.params, text, image, return_loss=True,
+                                row_valid=valid)
+    np.testing.assert_allclose(float(loss_trunc), float(loss_pad),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_pad_and_mask_sharded_matches_truncated():
+    """Same equality through the row-sharded 8-device loss: the padded rows
+    sit on the LAST shards, every device contributes masked rows/columns."""
+    clip, loss_trunc, text, image, valid = _truncated_vs_padded()
+    mesh = create_mesh((8,), axis_names=("data",))
+    fn = shard_map(
+        lambda p, t, i, v: clip.model.apply(p, t, i, return_loss=True,
+                                            axis_name="data", row_valid=v),
+        mesh=mesh, in_specs=(P(), P("data"), P("data"), P("data")),
+        out_specs=P(), check_vma=False)
+    loss_pad = jax.jit(fn)(clip.params, text, image, valid)
+    np.testing.assert_allclose(float(loss_trunc), float(loss_pad),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_pad_and_mask_grads_match_truncated():
+    """The padded step's PARAMETER gradients equal the truncated batch's:
+    padding contributes exactly zero to every weight gradient."""
+    clip, _, text, image, valid = _truncated_vs_padded()
+
+    def loss_pad(p):
+        return clip.model.apply(p, text, image, return_loss=True,
+                                row_valid=valid)
+
+    def loss_trunc(p):
+        return clip.model.apply(p, text[:12], image[:12], return_loss=True)
+
+    g_pad = jax.grad(loss_pad)(clip.params)
+    g_trunc = jax.grad(loss_trunc)(clip.params)
+    for a, b in zip(jax.tree.leaves(g_pad), jax.tree.leaves(g_trunc)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-5, atol=1e-6)
+
+
+def test_pad_and_mask_train_step_runs():
+    """make_train_step threads valid= through to the loss (loader
+    pad_remainder consumers)."""
+    import optax
+    clip = mock_clip()
+    text, image = global_batch(b=8, seed=4)
+    valid = jnp.arange(8) < 6
+    state = create_train_state(clip.model, jax.random.PRNGKey(0),
+                               optax.sgd(1e-3))
+    step = make_train_step(clip.model, optax.sgd(1e-3), donate=False)
+    _, m_pad = step(state, text, image, jax.random.PRNGKey(1), valid)
+    _, m_trunc = step(state, text[:6], image[:6], jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(m_pad["cl_loss"]),
+                               float(m_trunc["cl_loss"]),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_pad_and_mask_rejects_unsupported_losses():
+    clip = mock_clip(use_all_token_embeds=True)
+    text, image = global_batch(b=8)
+    with pytest.raises(AssertionError, match="row_valid"):
+        clip.model.apply(clip.params, text, image, return_loss=True,
+                         row_valid=jnp.ones(8, bool))

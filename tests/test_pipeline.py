@@ -278,3 +278,28 @@ def test_loader_image_dtype_bfloat16():
     ref = np.stack([im for _, im in make_examples(4)])
     np.testing.assert_array_equal(np.asarray(batch["image"]),
                                   ref.astype(jnp.bfloat16))
+
+
+def test_loader_pad_remainder_static_shapes():
+    """pad_remainder=True: the final short batch is padded to batch_size
+    (repeating the last example) and every batch carries a 'valid' mask —
+    all-True except the padded tail; shapes stay static for jit."""
+    import pytest
+    loader = TextImageLoader(make_examples(10), batch_size=4,
+                             context_length=16, drop_remainder=False,
+                             pad_remainder=True)
+    batches = list(loader)
+    assert len(batches) == 3
+    for b in batches:
+        assert b["text"].shape == (4, 16)
+        assert b["image"].shape == (4, 3, 16, 16)
+        assert b["valid"].shape == (4,) and b["valid"].dtype == jnp.bool_
+    assert all(bool(v) for b in batches[:2] for v in np.asarray(b["valid"]))
+    np.testing.assert_array_equal(np.asarray(batches[-1]["valid"]),
+                                  [True, True, False, False])
+    # padding repeats the final real example
+    np.testing.assert_array_equal(np.asarray(batches[-1]["text"])[1],
+                                  np.asarray(batches[-1]["text"])[3])
+    # pad_remainder without drop_remainder=False is a config error
+    with pytest.raises(ValueError, match="pad_remainder"):
+        TextImageLoader(make_examples(4), batch_size=4, pad_remainder=True)

@@ -68,6 +68,14 @@ class TextImageLoader:
       mesh: optional jax Mesh — batches are sharded over its 'data' axis.
       prefetch: number of device batches to stage ahead.
       drop_remainder: drop the final short batch (keeps shapes static for jit).
+      pad_remainder: with drop_remainder=False, pad the final short batch
+        up to `batch_size` (repeating the last example) instead of yielding
+        a short one, and add a `'valid'` bool array to EVERY yielded batch
+        (all-True except on the padded tail) — shapes and the batch pytree
+        stay static for jit. Pass it to the loss as `row_valid` so padded
+        rows leave the contrastive numerators/denominators: the padded
+        step's loss equals the truncated batch's on the real rows
+        (reference distributed.py:14-39 variable-batch spirit).
       num_workers: decode/tokenize workers (indexable sources). 0 =
         inline in the pipeline thread.
       worker_backend: 'thread' (default — PIL/numpy release the GIL for
@@ -109,6 +117,7 @@ class TextImageLoader:
                  tokenizer: Optional[SimpleTokenizer] = None,
                  mesh=None, prefetch: int = 2,
                  drop_remainder: bool = True,
+                 pad_remainder: bool = False,
                  num_workers: int = 0,
                  worker_backend: str = "thread",
                  shuffle_seed: Optional[int] = None,
@@ -125,6 +134,11 @@ class TextImageLoader:
         self.mesh = mesh
         self.prefetch = max(1, prefetch)
         self.drop_remainder = drop_remainder
+        if pad_remainder and drop_remainder:
+            raise ValueError("pad_remainder=True requires "
+                             "drop_remainder=False (nothing to pad when "
+                             "short batches are dropped)")
+        self.pad_remainder = pad_remainder
         self.num_workers = num_workers
         if worker_backend not in ("thread", "process"):
             raise ValueError(f"unknown worker_backend: {worker_backend!r} "
@@ -346,9 +360,20 @@ class TextImageLoader:
         def worker():
             try:
                 for tokens, images, loader_state in self._host_batches(pool):
-                    if not put_until_done(
-                            {"text": place(tokens), "image": place(images),
-                             "loader_state": loader_state}):
+                    batch = {"loader_state": loader_state}
+                    if self.pad_remainder:
+                        real = tokens.shape[0]
+                        if real < self.batch_size:
+                            reps = self.batch_size - real
+                            tokens = np.concatenate(
+                                [tokens, np.repeat(tokens[-1:], reps, 0)], 0)
+                            images = np.concatenate(
+                                [images, np.repeat(images[-1:], reps, 0)], 0)
+                        batch["valid"] = place(
+                            np.arange(self.batch_size) < real)
+                    batch["text"] = place(tokens)
+                    batch["image"] = place(images)
+                    if not put_until_done(batch):
                         return
             except Exception as e:  # surface worker errors to the consumer
                 err.append(e)

@@ -236,9 +236,20 @@ class CLIPModel:
               training: Optional[bool] = None,
               axis_name: Optional[str] = None,
               gather_impl: str = "sharded",
-              return_metrics: bool = False):
+              return_metrics: bool = False,
+              row_valid: Optional[jax.Array] = None):
         training = return_loss if training is None else training
         rngs = RngStream(rng)
+        if row_valid is not None:
+            # pad-and-mask escape hatch for a final short batch (reference
+            # distributed.py:14-39 spirit): rows marked invalid leave the
+            # contrastive numerators, denominators, and the mean count, so
+            # the padded step's loss equals the truncated batch's. Only the
+            # plain InfoNCE path masks rows — the aux objectives would
+            # still average over padding, so they must be off.
+            assert self.mlm is None and self.visual_ssl is None, \
+                "row_valid only masks the contrastive loss; disable " \
+                "use_mlm / use_visual_ssl or drop the final short batch"
         metrics = {}
 
         # mixed precision: params/images cast to the compute dtype on entry;
@@ -381,7 +392,8 @@ class CLIPModel:
                 image_latents_extra=image_latents_extra if self.extra_latent_projection else None,
                 sim_reg=self.sim_reg_loss_weight > 0.0,
                 axis_name=axis_name, gather_impl=gather_impl,
-                loss_impl=self.loss_impl, filip_block=self.filip_block)
+                loss_impl=self.loss_impl, filip_block=self.filip_block,
+                row_valid=row_valid)
 
         cl_loss, multiview_cl_loss = cl_losses[0], cl_losses[1:]
 

@@ -131,54 +131,92 @@ def _filip_sims_blocked(text_tok, img_tok, tmask, temp, block,
 
 def _infonce_from_blocks(text_to_image: jax.Array, image_to_text: jax.Array,
                          row_offset: jax.Array, global_batch: int,
-                         decoupled: bool, axis_name: str) -> jax.Array:
+                         decoupled: bool, axis_name: str,
+                         row_valid: Optional[jax.Array] = None,
+                         col_valid: Optional[jax.Array] = None) -> jax.Array:
     """Row-sharded InfoNCE: `(v, b_local, B)` sim blocks (already × temp) whose
     rows are this device's shard of the global batch and whose columns span the
     full gathered batch. The positive for local row r sits at global column
     `row_offset + r`. Returns the global-batch-mean `(v,)` CL losses via psum —
     identical math to the replicated `_infonce_from_sims`, at 1/world_size of
     the memory per device.
+
+    `row_valid` (b_local,) / `col_valid` (B,): pad-and-mask escape hatch for
+    a final short global batch (reference distributed.py:14-39 spirit) —
+    invalid columns are removed from every denominator, invalid rows from
+    the anchor sum, and the mean is over the REAL row count. The positive is
+    extracted before masking, so every per-row term stays finite (no
+    inf·0 NaNs through the `where` in either pass of AD).
     """
     b_local = text_to_image.shape[-2]
     rows = jnp.arange(b_local)
     cols = row_offset + rows                                   # global diag idx
 
+    denom_count = global_batch
+    if row_valid is not None:
+        denom_count = jax.lax.psum(row_valid.sum(), axis_name)
+
     def direction_loss(sims):
         pos = jnp.take_along_axis(
             sims, cols[None, :, None], axis=-1)[..., 0]        # (v, b_local)
+        neg_inf = jnp.finfo(sims.dtype).min
         if decoupled:
             # DCL (x_clip.py:834-836): positive removed from the denominator
-            neg_inf = jnp.finfo(sims.dtype).min
             hit = jnp.arange(sims.shape[-1])[None, :] == cols[:, None]
             sims = jnp.where(hit[None], neg_inf, sims)
+        if col_valid is not None:
+            sims = jnp.where(col_valid[None, None, :], sims, neg_inf)
         denom = jax.nn.logsumexp(sims, axis=-1)                # (v, b_local)
-        local_sum = (-pos + denom).sum(axis=-1)
-        return jax.lax.psum(local_sum, axis_name) / global_batch
+        term = -pos + denom
+        if row_valid is not None:
+            term = term * row_valid[None, :]
+        local_sum = term.sum(axis=-1)
+        return jax.lax.psum(local_sum, axis_name) / denom_count
 
     return (direction_loss(text_to_image) + direction_loss(image_to_text)) / 2
 
 
 def _infonce_from_sims(text_to_image: jax.Array, image_to_text: jax.Array,
-                       decoupled: bool) -> jax.Array:
-    """(v, b, b) paired sim matrices (already × temp) → (v,) CL losses."""
+                       decoupled: bool,
+                       valid: Optional[jax.Array] = None) -> jax.Array:
+    """(v, b, b) paired sim matrices (already × temp) → (v,) CL losses.
+
+    `valid` (b,): pad-and-mask escape hatch — invalid columns leave every
+    denominator, invalid rows leave the anchor mean, and the mean divides
+    by the REAL row count, so a padded batch scores exactly like the
+    truncated batch of its real rows (reference distributed.py:14-39
+    variable-batch spirit). Positives are taken before masking so every
+    per-row term stays finite under AD."""
     b = text_to_image.shape[-1]
 
     t2i_pos = matrix_diag(text_to_image)
     i2t_pos = matrix_diag(image_to_text)
 
+    neg_inf = jnp.finfo(text_to_image.dtype).min
     if decoupled:
         # DCL: remove the positive from the denominator (x_clip.py:834-836).
         # In log space: set the diagonal to -inf before the LSE.
-        neg_inf = jnp.finfo(text_to_image.dtype).min
         eye = jnp.eye(b, dtype=bool)
         text_to_image = jnp.where(eye, neg_inf, text_to_image)
         image_to_text = jnp.where(eye, neg_inf, image_to_text)
+    if valid is not None:
+        vcol = valid[None, None, :].astype(bool)
+        text_to_image = jnp.where(vcol, text_to_image, neg_inf)
+        image_to_text = jnp.where(vcol, image_to_text, neg_inf)
 
     t2i_denom = jax.nn.logsumexp(text_to_image, axis=-1)
     i2t_denom = jax.nn.logsumexp(image_to_text, axis=-1)
 
-    t2i_loss = (-t2i_pos + t2i_denom).mean(axis=-1)
-    i2t_loss = (-i2t_pos + i2t_denom).mean(axis=-1)
+    t2i_term = -t2i_pos + t2i_denom
+    i2t_term = -i2t_pos + i2t_denom
+    if valid is not None:
+        w = valid.astype(t2i_term.dtype)[None, :]
+        count = w.sum()
+        t2i_loss = (t2i_term * w).sum(axis=-1) / count
+        i2t_loss = (i2t_term * w).sum(axis=-1) / count
+    else:
+        t2i_loss = t2i_term.mean(axis=-1)
+        i2t_loss = i2t_term.mean(axis=-1)
     return (t2i_loss + i2t_loss) / 2
 
 
@@ -186,7 +224,7 @@ def _sharded_contrastive_loss(
     text_latents, image_latents, temp, *,
     text_mask, use_all_token_embeds, decoupled_contrastive_learning,
     text_latents_extra, image_latents_extra, sim_reg, axis_name,
-    loss_impl="xla", filip_block=None,
+    loss_impl="xla", filip_block=None, row_valid=None,
 ):
     """Memory-scalable distributed loss: each device keeps its LOCAL latents as
     similarity-matrix rows and all_gathers only the COLUMN side, computing a
@@ -209,6 +247,19 @@ def _sharded_contrastive_loss(
     row_offset = jax.lax.axis_index(axis_name) * b_local
 
     gather = lambda x: jax.lax.all_gather(x, axis_name, axis=1, tiled=True)
+
+    col_valid = None
+    if row_valid is not None:
+        # pad-and-mask escape hatch: only the plain-InfoNCE XLA block path
+        # supports it (the fused streaming kernel and FILIP reductions have
+        # no masked-column variant; sim_reg's off-diagonal count would change)
+        assert not use_all_token_embeds and not sim_reg and \
+            loss_impl != "fused", \
+            "row_valid requires the plain InfoNCE loss (loss_impl='xla', " \
+            "no FILIP, no sim_reg)"
+        row_valid = row_valid.astype(jnp.float32)
+        col_valid = jax.lax.all_gather(row_valid, axis_name, axis=0,
+                                       tiled=True).astype(bool)
 
     # ---- similarity regularization (x_clip.py:773-784), row-sharded ---------
     sim_reg_loss = jnp.zeros((), dtype=text_latents.dtype)
@@ -294,7 +345,8 @@ def _sharded_contrastive_loss(
 
     cl_losses = _infonce_from_blocks(
         text_to_image, image_to_text, row_offset, global_batch,
-        decoupled_contrastive_learning, axis_name)
+        decoupled_contrastive_learning, axis_name,
+        row_valid=row_valid, col_valid=col_valid)
     return cl_losses, sim_reg_loss
 
 
@@ -313,8 +365,18 @@ def clip_contrastive_loss(
     gather_impl: str = "sharded",
     loss_impl: str = "xla",
     filip_block: Optional[int] = None,
+    row_valid: Optional[jax.Array] = None,
 ):
     """Returns (cl_losses of shape (m*n,), sim_reg_loss scalar).
+
+    `row_valid` ((b,) bool, optional): the pad-and-mask escape hatch for a
+    final short batch (reference distributed.py:14-39 variable-batch
+    spirit, kept SPMD-static): pad the batch to full size, mark the real
+    rows, and the loss equals the truncated batch's loss on the real rows —
+    invalid rows/columns leave every numerator, denominator, and the mean
+    count. Plain InfoNCE only (loss_impl='xla', no FILIP / sim_reg — the
+    fused streaming kernel and the FILIP reductions have no masked-column
+    variant); see tests/test_distributed.py::test_pad_and_mask_*.
 
     `cl_losses[0]` is the main (view-0 × view-0) loss; the rest are multiview
     losses — matching the reference's `(m n)` flattening order
@@ -348,7 +410,13 @@ def clip_contrastive_loss(
             text_latents_extra=text_latents_extra,
             image_latents_extra=image_latents_extra,
             sim_reg=sim_reg, axis_name=axis_name, loss_impl=loss_impl,
-            filip_block=filip_block)
+            filip_block=filip_block, row_valid=row_valid)
+
+    if row_valid is not None:
+        assert not use_all_token_embeds and not sim_reg and \
+            loss_impl != "fused", \
+            "row_valid requires the plain InfoNCE loss (loss_impl='xla', " \
+            "no FILIP, no sim_reg)"
 
     has_extra = text_latents_extra is not None
     if not has_extra:
@@ -359,6 +427,9 @@ def clip_contrastive_loss(
         text_latents, image_latents = gather(text_latents), gather(image_latents)
         text_latents_extra = gather(text_latents_extra)
         image_latents_extra = gather(image_latents_extra)
+        if row_valid is not None:
+            row_valid = jax.lax.all_gather(row_valid.astype(jnp.float32),
+                                           axis_name, axis=0, tiled=True)
         if text_mask is not None:
             m = text_latents.shape[0]
             tm = text_mask.reshape(m, -1, text_mask.shape[-1])
@@ -446,5 +517,6 @@ def clip_contrastive_loss(
         image_to_text = i2t.reshape(-1, batch, batch)
 
     cl_losses = _infonce_from_sims(text_to_image, image_to_text,
-                                   decoupled_contrastive_learning)
+                                   decoupled_contrastive_learning,
+                                   valid=row_valid)
     return cl_losses, sim_reg_loss

@@ -88,19 +88,26 @@ def make_train_step(model, optimizer, *, donate: bool = True,
             "(See the make_train_step docstring.)",
             stacklevel=2)
 
-    def grads_and_metrics(params, text, image, rng):
+    def grads_and_metrics(params, text, image, rng, valid=None):
         def loss_fn(p):
             loss, metrics = model.apply(
                 p, text, image, return_loss=True, rng=rng,
-                training=True, return_metrics=True)
+                training=True, return_metrics=True, row_valid=valid)
             return loss, metrics
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         return grads, metrics
 
-    def train_step(state: TrainState, text, image, rng):
+    def train_step(state: TrainState, text, image, rng, valid=None):
+        # `valid` (b,) bool: the loader's pad_remainder mask — padded rows
+        # leave the contrastive loss (see clip_contrastive_loss row_valid)
         if grad_accum == 1:
-            grads, metrics = grads_and_metrics(state.params, text, image, rng)
+            grads, metrics = grads_and_metrics(state.params, text, image,
+                                               rng, valid)
         else:
+            assert valid is None, (
+                "pad-and-mask (valid=) is not supported with grad_accum > 1: "
+                "a microbatch could end up fully padded (0/0 loss). Drop the "
+                "final short batch instead.")
             assert text.shape[0] % grad_accum == 0, (
                 f"batch size {text.shape[0]} must divide evenly into "
                 f"grad_accum={grad_accum} microbatches (no silent drops)")
