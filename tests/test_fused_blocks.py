@@ -91,6 +91,45 @@ def test_ff_block_stored_geglu_matches_xla():
         assert rel < 5e-4, (name, rel)
 
 
+@pytest.mark.fast
+def test_ff_block_fed_dw_pass_matches_self_contained(monkeypatch):
+    """The recompute backward's two dW-pass modes — fed by pass 1
+    (XCLIP_FF_P2_FED=1: pass 1 emits dh/y/xn, pass 2 is pure dW dots) vs
+    self-contained (=0: pass 2 re-derives a/b/dy per column block) — are
+    the same math on the same storage-dtype operands, so their gradients
+    must agree to fp32 roundoff."""
+    from xclip_tpu.kernels.fused_ff_block import (_p1_fed_vmem_bytes,
+                                                  _p2_fed_choice)
+    args = _ff_args()
+
+    def grads():
+        return jax.grad(lambda a: (ff_block(*a, 16, 64) ** 2).sum())(args)
+
+    monkeypatch.setenv("XCLIP_FF_P2_FED", "1")
+    g_fed = grads()
+    monkeypatch.setenv("XCLIP_FF_P2_FED", "0")
+    g_self = grads()
+    for name, a, b in zip(["dx", "dg_pre", "dw_in", "dg_inner", "dw_out"],
+                          g_fed, g_self):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-6, atol=2e-6, err_msg=name)
+
+    # the auto gates (interpret=True skips the scoped-VMEM check):
+    monkeypatch.delenv("XCLIP_FF_P2_FED", raising=False)
+    # dim-768 b128 text tower: 34816 rows × (6144+3072+768) bf16 = 663 MB
+    assert _p2_fed_choice(34816, 768, 6144, jnp.bfloat16, 128, True)[0]
+    # 32k-shard text tower: 557056 rows × (4096+2048+512) bf16 = 6.9 GB
+    assert not _p2_fed_choice(557056, 512, 4096, jnp.bfloat16, 128, True)[0]
+
+    # the scoped-VMEM estimate, calibrated on the compiler's report at
+    # the dim-768 128-row tile (36.85 MiB): estimate must bound it from
+    # above but stay under the 40 MiB limit the fed bench runs at
+    est128 = _p1_fed_vmem_bytes(128, 768, 6144, 2)
+    assert 36.85 * 2**20 < est128 <= 40 * 2**20, est128 / 2**20
+    # and halving the tile must fit a 32 MiB limit
+    assert _p1_fed_vmem_bytes(64, 768, 6144, 2) <= 32 * 2**20
+
+
 def test_ff_block_3d_and_padding():
     args = _ff_args(R=40)
     x3 = args[0].reshape(4, 10, 64)

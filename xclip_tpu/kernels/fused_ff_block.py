@@ -29,6 +29,17 @@ activations tile-wise (never materializing them):
     VMEM scratch per column block — the inner LayerNorm's row coupling is
     factored out through the pass-1 statistics, so columns are independent.
 
+Pass 2 of the recompute variant has two modes (r5): FED — pass 1 emits the
+dh/y/xn operands it already materialized for its own dots, and pass 2 is
+pure dW dots (half the MXU work; the hand-off is a per-layer transient,
+never a forward residual; +20% at dim-768 b128: 349.9 → 420.0 pairs/s) —
+vs SELF-CONTAINED, which re-derives a/b/dy per column block from x and
+the weights. `_p2_fed_choice` gates the hand-off on HBM size (default
+≤ 1 GB, env XCLIP_FF_P2_FED / XCLIP_FF_P2_FED_MAX_MB) and on the fed
+pass 1 fitting scoped VMEM (halving its row tile if needed): fed at the
+dim-768 b128 shape under a ≥40 MiB limit, self-contained at the
+32k-batch 2048-row shard where the hand-off would be ~6.9 GB.
+
 `store_h=True` trades HBM traffic for the recompute tax: the forward ALSO
 emits `h = LN(x) @ w_in` in the storage dtype, and both backward passes read
 it instead of redoing the x@w_in matmuls (pass 1: 4.19 MFLOP/row; pass 2:
@@ -67,7 +78,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ._common import (eps_for as _eps_for, ln_fp32 as _ln_fp32,
-                      round_up as _round_up)
+                      round_up as _round_up, scoped_vmem_limit_bytes)
 from .fused_ff import _gelu_exact, _erf, _INV_SQRT2
 
 DEFAULT_BLOCK_ROWS = 256
@@ -351,18 +362,69 @@ def _ff_block_fwd_store_call(x2, g_pre, w_in, g_inner, w_out, block_rows,
 
 # ---------------------------------------------------- backward pass 1 (dx)
 
+def _p1_recompute_core(x, do, gpre, gin, win, wout, mp, ip, mi, ii):
+    """Recompute pass-1 math on one 2D tile, LNs from the forward-stored
+    statistics (mp/ip/mi/ii): the x@w_in matmul and GEGLU are recomputed
+    tile-wise (no O(rows·inner) residual — the memory-lean contract), but
+    both LayerNorms become elementwise (v − mean)·inv reuses of the
+    forward's fp32 values — bitwise identical to a fresh reduction since
+    the recomputed h/prod repeat the forward's exact op sequence on the
+    same inputs. Only the cotangent-dependent reductions (m1/m2, p1/p2,
+    the dg sums) remain. Returns everything either pass-2 variant needs:
+    (dx, m1, m2, dh, y, xn, dgpre_tile, dgin_tile) — unused returns are
+    dead code the compiler strips in the non-fed wrapper."""
+    do32 = do.astype(jnp.float32)
+    gpre32 = gpre.astype(jnp.float32)
+    gin32 = gin.astype(jnp.float32)
+
+    x32 = x.astype(jnp.float32)
+    xhat_pre = (x32 - mp) * ip
+    xn = (xhat_pre * gpre32).astype(x.dtype)
+    h = jax.lax.dot_general(xn, win, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    inner = h.shape[-1] // 2
+    a, b = h[:, :inner], h[:, inner:]
+    gelu_b, gelu_db = _gelu_val_grad(b)
+    prod = a * gelu_b
+    xhat_in = (prod - mi) * ii
+
+    # d(inner normalized · g) = do @ w_out^T
+    dy = jax.lax.dot_general(do, wout, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dgin_tile = jnp.sum(dy * xhat_in, axis=0, keepdims=True)
+
+    # inner LayerNorm backward
+    dyg = dy * gin32
+    m1 = jnp.mean(dyg, axis=-1, keepdims=True)
+    m2 = jnp.mean(dyg * xhat_in, axis=-1, keepdims=True)
+    dprod = ii * (dyg - m1 - xhat_in * m2)
+
+    # GEGLU backward → dh, then dxn = dh @ w_in^T
+    da = dprod * gelu_b
+    db = dprod * a * gelu_db
+    dh = jnp.concatenate([da, db], axis=-1).astype(x.dtype)
+    y = (xhat_in * gin32).astype(x.dtype)
+    dxn = jax.lax.dot_general(dh, win, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+
+    dgpre_tile = jnp.sum(dxn * xhat_pre, axis=0, keepdims=True)
+
+    # pre LayerNorm backward + residual
+    dyg2 = dxn * gpre32
+    p1 = jnp.mean(dyg2, axis=-1, keepdims=True)
+    p2 = jnp.mean(dyg2 * xhat_pre, axis=-1, keepdims=True)
+    dx = ip * (dyg2 - p1 - xhat_pre * p2) + do32
+    return (dx.astype(x.dtype), m1, m2, dh, y, xn, dgpre_tile, dgin_tile)
+
+
 def _bwd_dx_kernel(x_ref, gpre_ref, win_ref, gin_ref, wout_ref, do_ref,
                    stats_ref,
                    dx_ref, m12_ref,
                    dgpre_ref, dgin_ref,
                    dgpre_scr, dgin_scr, *, num_blocks, stats_T):
-    """Recompute pass 1 with the forward-stored LN statistics (mp/ip/mi/ii):
-    the x@w_in matmul and GEGLU are still recomputed tile-wise (no
-    O(rows·inner) residual — the memory-lean contract), but both LayerNorms
-    become elementwise (v − mean)·inv reuses of the forward's fp32 values —
-    bitwise identical to a fresh reduction since the recomputed h/prod
-    repeat the forward's exact op sequence on the same inputs. Only the
-    cotangent-dependent reductions (m1/m2, p1/p2, the dg sums) remain."""
+    """Recompute pass 1 (see _p1_recompute_core); pass 2 re-derives the
+    activations itself from x + the stored stats, so this emits only the
+    cotangent-dependent m1/m2 row terms for it."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -370,58 +432,54 @@ def _bwd_dx_kernel(x_ref, gpre_ref, win_ref, gin_ref, wout_ref, do_ref,
         dgpre_scr[...] = jnp.zeros_like(dgpre_scr)
         dgin_scr[...] = jnp.zeros_like(dgin_scr)
 
-    x = x_ref[...]
-    do = do_ref[...]
-    do32 = do.astype(jnp.float32)
-    gpre32 = gpre_ref[...].astype(jnp.float32)
-    gin32 = gin_ref[...].astype(jnp.float32)
-
-    # recompute forward up to the inner normalized activation, LNs from
-    # the stored stats
     mp, ip, mi, ii = _unpack_stats(stats_ref[...], stats_T)
-    x32 = x.astype(jnp.float32)
-    xhat_pre = (x32 - mp) * ip
-    xn = (xhat_pre * gpre32).astype(x.dtype)
-    h = jax.lax.dot_general(xn, win_ref[...], (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    inner = h.shape[-1] // 2
-    a, b = h[:, :inner], h[:, inner:]
-    gelu_b, gelu_db = _gelu_val_grad(b)
-    prod = a * gelu_b
-    inv_in = ii
-    xhat_in = (prod - mi) * inv_in
-
-    # d(inner normalized · g) = do @ w_out^T
-    dy = jax.lax.dot_general(do, wout_ref[...],
-                             (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    dgin_scr[...] += jnp.sum(dy * xhat_in, axis=0, keepdims=True)
-
-    # inner LayerNorm backward
-    dyg = dy * gin32
-    m1 = jnp.mean(dyg, axis=-1, keepdims=True)
-    m2 = jnp.mean(dyg * xhat_in, axis=-1, keepdims=True)
-    dprod = inv_in * (dyg - m1 - xhat_in * m2)
-
+    dx, m1, m2, _dh, _y, _xn, dgpre_tile, dgin_tile = _p1_recompute_core(
+        x_ref[...], do_ref[...], gpre_ref[...], gin_ref[...],
+        win_ref[...], wout_ref[...], mp, ip, mi, ii)
     # emit the cotangent-dependent per-row terms for the dW pass (packed
     # — see _stats_transposed)
     m12_ref[...] = _pack_stats((m1, m2), stats_T)
+    dx_ref[...] = dx
+    dgpre_scr[...] += dgpre_tile
+    dgin_scr[...] += dgin_tile
 
-    # GEGLU backward → dh, then dxn = dh @ w_in^T
-    da = dprod * gelu_b
-    db = dprod * a * gelu_db
-    dh = jnp.concatenate([da, db], axis=-1).astype(x.dtype)
-    dxn = jax.lax.dot_general(dh, win_ref[...], (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)
+    @pl.when(i == num_blocks - 1)
+    def _emit():
+        dgpre_ref[...] = dgpre_scr[...]
+        dgin_ref[...] = dgin_scr[...]
 
-    dgpre_scr[...] += jnp.sum(dxn * xhat_pre, axis=0, keepdims=True)
 
-    # pre LayerNorm backward + residual
-    dyg2 = dxn * gpre32
-    p1 = jnp.mean(dyg2, axis=-1, keepdims=True)
-    p2 = jnp.mean(dyg2 * xhat_pre, axis=-1, keepdims=True)
-    dx = ip * (dyg2 - p1 - xhat_pre * p2) + do32
-    dx_ref[...] = dx.astype(dx_ref.dtype)
+def _bwd_dx_kernel_fed(x_ref, gpre_ref, win_ref, gin_ref, wout_ref, do_ref,
+                       stats_ref,
+                       dx_ref, dh_ref, y_ref, xn_ref,
+                       dgpre_ref, dgin_ref,
+                       dgpre_scr, dgin_scr, *, num_blocks, stats_T):
+    """Recompute pass 1 that FEEDS pass 2: additionally emits the tensors
+    it already materialized for its own dots — dh = (da‖db), y = x̂_in·g,
+    and xn = LN(x)·g_pre, all in the storage dtype — so pass 2 becomes the
+    three dW dots with zero recompute (same FLOPs as the stored-residual
+    pass 2, without any O(rows·inner) residual surviving the FORWARD: the
+    hand-off lives only for the one layer's backward). m1/m2 are not
+    emitted — fed pass 2 doesn't rebuild dprod. Numerics are bitwise
+    identical to the unfed pair: both cast da/db/y/xn to the storage dtype
+    before the dW dots, here vs inside _bwd_dw_kernel."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dgpre_scr[...] = jnp.zeros_like(dgpre_scr)
+        dgin_scr[...] = jnp.zeros_like(dgin_scr)
+
+    mp, ip, mi, ii = _unpack_stats(stats_ref[...], stats_T)
+    dx, _m1, _m2, dh, y, xn, dgpre_tile, dgin_tile = _p1_recompute_core(
+        x_ref[...], do_ref[...], gpre_ref[...], gin_ref[...],
+        win_ref[...], wout_ref[...], mp, ip, mi, ii)
+    dx_ref[...] = dx
+    dh_ref[...] = dh
+    y_ref[...] = y
+    xn_ref[...] = xn
+    dgpre_scr[...] += dgpre_tile
+    dgin_scr[...] += dgin_tile
 
     @pl.when(i == num_blocks - 1)
     def _emit():
@@ -646,6 +704,41 @@ def _bwd_dw_kernel(x_ref, gpre_ref, wina_ref, winb_ref, gin_ref, wout_ref,
         dwout_ref[...] = dwout_scr[...].astype(dwout_ref.dtype)
 
 
+def _bwd_dw_kernel_fed(xn_ref, do_ref, da_ref, db_ref, y_ref,
+                       dwina_ref, dwinb_ref, dwout_ref,
+                       dwina_scr, dwinb_scr, dwout_scr, *, num_row_blocks):
+    """Pass 2 fed by pass 1 (_bwd_dx_kernel_fed): every operand arrives
+    precomputed in the storage dtype, so the kernel body is exactly the
+    three dW dots + fp32 VMEM accumulation — half the MXU work of the
+    self-contained _bwd_dw_kernel (which re-derives a/b/dy per column
+    block). da/db are column slices of the one (rows, 2·inner) dh tensor
+    (offset index maps, like the stored kernel's h halves)."""
+    r = pl.program_id(1)
+
+    @pl.when(r == 0)
+    def _init():
+        dwina_scr[...] = jnp.zeros_like(dwina_scr)
+        dwinb_scr[...] = jnp.zeros_like(dwinb_scr)
+        dwout_scr[...] = jnp.zeros_like(dwout_scr)
+
+    xn = xn_ref[...]
+    dwina_scr[...] += jax.lax.dot_general(
+        xn, da_ref[...], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dwinb_scr[...] += jax.lax.dot_general(
+        xn, db_ref[...], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dwout_scr[...] += jax.lax.dot_general(
+        y_ref[...], do_ref[...], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(r == num_row_blocks - 1)
+    def _emit():
+        dwina_ref[...] = dwina_scr[...].astype(dwina_ref.dtype)
+        dwinb_ref[...] = dwinb_scr[...].astype(dwinb_ref.dtype)
+        dwout_ref[...] = dwout_scr[...].astype(dwout_ref.dtype)
+
+
 def _p2_stored_core(x, do, gpre, gin_slice, ha, hb, dprod_raw,
                     mean_in, inv_in, mean_pre, inv_pre):
     """Stored pass-2 math on one (rows × column-slice) tile: returns the
@@ -822,6 +915,67 @@ def supported(dim: int, inner: int) -> bool:
     return pick_block_cols(inner) is not None
 
 
+def _p1_fed_vmem_bytes(block_rows: int, d: int, two_inner: int,
+                       itemsize: int) -> int:
+    """Scoped-VMEM stack estimate for the FED pass-1 kernel: weight
+    matrices (single-buffered — constant index map), double-buffered
+    row-tile IO (x/do in; dx/dh/y/xn out), and the fp32 body temporaries
+    (h, the GELU value/derivative pair, dy, x̂_in, dprod, the da‖db
+    concat, y, plus three d-wide fp32 rows). Calibrated against the
+    compiler's reported 36.85 MiB at (128, 768, 6144, bf16) — the 1.08
+    factor covers what this accounting misses there (~3%) plus margin."""
+    inner = two_inner // 2
+    weights = (d * two_inner + inner * d) * itemsize
+    io = 2 * itemsize * block_rows * (4 * d + two_inner + inner)
+    body = 4 * block_rows * (3 * two_inner + 4 * inner + 3 * d)
+    return int(1.08 * (weights + io + body))
+
+
+def _p2_fed_choice(rows_pad: int, d: int, two_inner: int, dtype,
+                   block_rows: int, interpret: bool):
+    """Whether the recompute backward runs its dW pass FED by pass 1
+    (pass 1 emits dh/y/xn; pass 2 is pure dW dots at half the MXU work —
+    +20% at the dim-768 b128 shape) vs SELF-CONTAINED (pass 2 re-derives
+    a/b/dy per column block). Returns (fed, pass1_block_rows).
+
+    Two gates:
+      * HBM: the hand-off tensor is (rows, 2·inner + inner + d) in the
+        storage dtype, alive only between the two passes of ONE layer's
+        backward — unlike the store_h forward residual it never
+        multiplies by depth, but at the 32k-batch shard (557k rows) it
+        would still be ~6.9 GB. Auto enables below XCLIP_FF_P2_FED_MAX_MB
+        (1024 — covers the dim-768 b128 text tower's 663 MB, excludes
+        the 2048-local-batch shard).
+      * scoped VMEM: the fed pass 1 carries ~5 MiB more of double-
+        buffered outputs than the self-contained kernel (36.85 vs ~32 MiB
+        at dim-768's 128-row tile) — if the estimate exceeds the active
+        limit, the row tile is halved while it still divides rows_pad;
+        if even the smallest dividing tile doesn't fit, fall back to
+        self-contained. XCLIP_FF_P2_FED=0 forces off; =1 forces on (the
+        tile still auto-halves to fit).
+    """
+    mode = os.environ.get("XCLIP_FF_P2_FED", "auto")
+    if mode == "0":
+        return False, block_rows
+    itemsize = jnp.dtype(dtype).itemsize
+    if mode != "1":
+        transient_mb = (rows_pad * (two_inner + two_inner // 2 + d)
+                        * itemsize / 2**20)
+        if transient_mb > float(
+                os.environ.get("XCLIP_FF_P2_FED_MAX_MB", "1024")):
+            return False, block_rows
+    if interpret:  # no VMEM on the CPU interpreter
+        return True, block_rows
+    limit = scoped_vmem_limit_bytes()
+    br = block_rows
+    while (_p1_fed_vmem_bytes(br, d, two_inner, itemsize) > limit
+           and br > 32 and br % 2 == 0 and rows_pad % (br // 2) == 0):
+        br //= 2
+    if _p1_fed_vmem_bytes(br, d, two_inner, itemsize) > limit:
+        return mode == "1", br  # forced: let the compiler try anyway
+    return True, br
+
+
 def _clamp_blocks(x, w_in, block_rows, block_cols):
     inner = w_in.shape[-1] // 2
     block_cols = pick_block_cols(inner, block_cols)
@@ -894,6 +1048,13 @@ def _ff_block_bwd(block_rows, block_cols, interpret, store_h, res, dout):
     x2, rows, lead = _flatten_pad(x, pad_unit)
     do2, _, _ = _flatten_pad(dout.astype(x.dtype), pad_unit)
     rows_pad = x2.shape[0]
+    # recompute path only: decide the dW-pass mode (fed vs self-contained)
+    # now — fed may halve the pass-1 row tile to fit its extra output
+    # buffers in scoped VMEM (see _p2_fed_choice)
+    fed = False
+    if not store_h:
+        fed, block_rows = _p2_fed_choice(rows_pad, d, two_inner, x.dtype,
+                                         block_rows, interpret)
     # rows were padded to the FORWARD tile; the halved backward tile must
     # divide that padding exactly or the pass-1 grid silently drops tail
     # rows (nb truncates) — defaults (256→128) are fine, but a custom odd
@@ -961,14 +1122,29 @@ def _ff_block_bwd(block_rows, block_cols, interpret, store_h, res, dout):
         dx_out_specs.append(pl.BlockSpec((block_rows, inner), lambda i: (i, 0)))
         dx_out_shape.append(jax.ShapeDtypeStruct((rows_pad, inner), x.dtype))
     else:
-        kernel1 = functools.partial(_bwd_dx_kernel, num_blocks=nb,
-                                    stats_T=stats_T)
         dx_in_specs += [stats_spec(4)]
         dx_args += [f_stats]
-        # extra output: only the cotangent-dependent m1/m2 (the LN
-        # mean/inv the dW pass needs are forward-stored)
-        dx_out_specs += [stats_spec(2)]
-        dx_out_shape += [stats_shape(2)]
+        if fed:
+            kernel1 = functools.partial(_bwd_dx_kernel_fed, num_blocks=nb,
+                                        stats_T=stats_T)
+            # extra outputs: the pass-2 operands pass 1 already built
+            dx_out_specs += [
+                pl.BlockSpec((block_rows, two_inner), lambda i: (i, 0)),
+                pl.BlockSpec((block_rows, inner), lambda i: (i, 0)),
+                pl.BlockSpec((block_rows, d), lambda i: (i, 0)),
+            ]
+            dx_out_shape += [
+                jax.ShapeDtypeStruct((rows_pad, two_inner), x.dtype),
+                jax.ShapeDtypeStruct((rows_pad, inner), x.dtype),
+                jax.ShapeDtypeStruct((rows_pad, d), x.dtype),
+            ]
+        else:
+            kernel1 = functools.partial(_bwd_dx_kernel, num_blocks=nb,
+                                        stats_T=stats_T)
+            # extra output: only the cotangent-dependent m1/m2 (the LN
+            # mean/inv the dW pass needs are forward-stored)
+            dx_out_specs += [stats_spec(2)]
+            dx_out_shape += [stats_shape(2)]
     dx_out_specs += [
         pl.BlockSpec((1, d), lambda i: (0, 0)),
         pl.BlockSpec((1, inner), lambda i: (0, 0)),
@@ -989,9 +1165,13 @@ def _ff_block_bwd(block_rows, block_cols, interpret, store_h, res, dout):
         ],
         interpret=interpret,
     )(*dx_args)
+    dh2 = y2 = xn2 = None
     if store_h:
         dx, dprod2, dgpre, dgin = outs
         m12 = None
+    elif fed:
+        dx, dh2, y2, xn2, dgpre, dgin = outs
+        m12 = dprod2 = None
     else:
         dx, m12, dgpre, dgin = outs
         dprod2 = None
@@ -1002,14 +1182,14 @@ def _ff_block_bwd(block_rows, block_cols, interpret, store_h, res, dout):
     ncb = inner // block_cols
     assert inner % block_cols == 0, (inner, block_cols)
 
-    # stored path: pass 2 reads h/dprod instead of the weight matrices, so
-    # its VMEM footprint is tiny — run it at the FULL forward row tile
-    # (divides rows_pad by construction), doubling the K of the dW dots;
-    # when the row count happens to be 512-divisible (it is for both
-    # flagship towers once transformer_apply sublane-aligns the sequence),
-    # go to K=512
-    block_rows2 = fwd_block_rows if store_h else block_rows
-    if store_h and rows_pad % (2 * fwd_block_rows) == 0:
+    # stored/fed paths: pass 2 reads precomputed operands instead of the
+    # weight matrices, so its VMEM footprint is tiny — run it at the FULL
+    # forward row tile (divides rows_pad by construction), doubling the K
+    # of the dW dots; when the row count happens to be 512-divisible (it
+    # is for both flagship towers once transformer_apply sublane-aligns
+    # the sequence), go to K=512
+    block_rows2 = fwd_block_rows if (store_h or fed) else block_rows
+    if (store_h or fed) and rows_pad % (2 * fwd_block_rows) == 0:
         block_rows2 = 2 * fwd_block_rows
     nb2 = rows_pad // block_rows2
 
@@ -1078,6 +1258,24 @@ def _ff_block_bwd(block_rows, block_cols, interpret, store_h, res, dout):
             interpret=interpret,
         )(x2, g_pre[None, :], g_inner[None, :], do2, h2, h2, dprod2,
           f_stats)
+    elif fed:
+        dwina, dwinb, dwout = pl.pallas_call(
+            functools.partial(_bwd_dw_kernel_fed, num_row_blocks=nb2),
+            grid=(ncb, nb2),
+            in_specs=[
+                pl.BlockSpec((block_rows2, d), lambda j, r: (r, 0)),
+                pl.BlockSpec((block_rows2, d), lambda j, r: (r, 0)),
+                # dh column slices: da-half then db-half (offset by inner)
+                pl.BlockSpec((block_rows2, block_cols), lambda j, r: (r, j)),
+                pl.BlockSpec((block_rows2, block_cols),
+                             lambda j, r: (r, j + ncb)),
+                pl.BlockSpec((block_rows2, block_cols), lambda j, r: (r, j)),
+            ],
+            out_specs=dw_out_specs,
+            out_shape=dw_out_shape,
+            scratch_shapes=dw_scratch,
+            interpret=interpret,
+        )(xn2, do2, dh2, dh2, y2)
     else:
         w_in_a, w_in_b = w_in[:, :inner], w_in[:, inner:]
         dwina, dwinb, dwout = pl.pallas_call(
