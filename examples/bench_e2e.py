@@ -8,7 +8,9 @@ ViT-B/32-class train step (bench.py's winning kernel config) fed by
 
   * sustained end-to-end pairs/s (loader → H2D → train step),
   * the device-only rate on the same process (same batch re-fed, chained),
-  * the loader-only rate for this worker count,
+  * the loader-only rate for this worker count, measured both host-only
+    (device_put=False) and with device placement (tunnel-confounded on
+    this VM — see the inline comment),
 
 so the reader can see which side binds and that prefetch hides the host
 work up to the host's capacity. On the 1-core build VM the pipeline is
@@ -105,20 +107,46 @@ def main():
     float(metrics["loss"])
     dev_rate = BATCH * STEPS / (time.perf_counter() - t0)
 
-    # loader-only rate at this worker count (fresh loader, no device work)
+    # loader-only rates at this worker count. Two measurements:
+    #   * in-process, with device placement — what the e2e loop actually
+    #     saw. On this build VM it is NOISY and tunnel-confounded: H2D is
+    #     an SSH pipe (not PCIe) and the axon client's threads contend
+    #     with decode on the single core.
+    #   * host-only (device_put=False) in a CLEAN CPU SUBPROCESS — the
+    #     decode→resize→tokenize→collate→cast rate a real v5e host core
+    #     sustains (PCIe moves a 100 MB bf16 batch in ~10 ms, invisible).
     loader2 = TextImageLoader(ds, batch_size=BATCH, context_length=256,
                               num_workers=WORKERS, worker_backend="thread",
                               shuffle_seed=1, num_epochs=1,
                               image_dtype="bfloat16", prefetch=3)
     t0 = time.perf_counter()
     n = sum(bb["text"].shape[0] for bb in loader2)
-    loader_rate = n / (time.perf_counter() - t0)
+    placed_rate = n / (time.perf_counter() - t0)
+
+    import subprocess
+    child = (
+        "import time,sys,json\n"
+        "from xclip_tpu.data import ImageFolderDataset, TextImageLoader\n"
+        f"ds = ImageFolderDataset({root!r}, image_size=256)\n"
+        f"ld = TextImageLoader(ds, batch_size={BATCH}, context_length=256,\n"
+        f"    num_workers={WORKERS}, worker_backend='thread',\n"
+        "    shuffle_seed=1, num_epochs=1, image_dtype='bfloat16',\n"
+        "    prefetch=3, device_put=False)\n"
+        "t0 = time.perf_counter()\n"
+        "n = sum(b['text'].shape[0] for b in ld)\n"
+        "print(json.dumps(n / (time.perf_counter() - t0)))\n")
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    out = subprocess.run([sys.executable, "-c", child], env=env,
+                         capture_output=True, text=True,
+                         cwd=os.path.join(os.path.dirname(__file__), ".."))
+    loader_rate = float(out.stdout.strip().splitlines()[-1])
 
     print(json.dumps({
         "metric": "end-to-end pairs/s (loader -> H2D -> flagship train step)",
         "value": round(e2e_rate, 1),
         "device_only_pairs_per_sec": round(dev_rate, 1),
-        "loader_only_pairs_per_sec": round(loader_rate, 1),
+        "loader_host_pairs_per_sec": round(loader_rate, 1),
+        "loader_placed_in_tpu_process_pairs_per_sec": round(placed_rate, 1),
         "host_cores": os.cpu_count(), "num_workers": WORKERS,
         "batch_size": BATCH, "steps": STEPS,
         "bound_by": ("host" if loader_rate < 0.9 * dev_rate else "device"),

@@ -36,6 +36,22 @@ def test_loader_keeps_remainder_when_asked():
     assert batches[-1]["text"].shape[0] == 2
 
 
+def test_loader_device_put_false_yields_host_numpy():
+    """device_put=False hands back the collated numpy arrays untouched —
+    identical values to the placed path, but host-resident (callers doing
+    their own placement / host-throughput measurement)."""
+    kw = dict(batch_size=4, context_length=16, shuffle_seed=None)
+    host = list(TextImageLoader(make_examples(8), device_put=False, **kw))
+    placed = list(TextImageLoader(make_examples(8), **kw))
+    assert len(host) == len(placed) == 2
+    for hb, pb in zip(host, placed):
+        assert isinstance(hb["text"], np.ndarray)
+        assert isinstance(hb["image"], np.ndarray)
+        assert isinstance(pb["text"], jax.Array)
+        np.testing.assert_array_equal(hb["text"], np.asarray(pb["text"]))
+        np.testing.assert_array_equal(hb["image"], np.asarray(pb["image"]))
+
+
 def test_loader_pretokenized_input():
     tok = SimpleTokenizer()
     examples = [(tok.encode(t), im) for t, im in make_examples(4)]

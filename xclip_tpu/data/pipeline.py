@@ -98,6 +98,10 @@ class TextImageLoader:
         host→device transfer AND removes the in-graph fp32→bf16 ingest
         cast when training with compute_dtype='bfloat16' — the images
         arrive in the dtype the MXU consumes).
+      device_put: place each batch on device (default). False yields host
+        numpy arrays untouched — for callers composing their own placement
+        (custom shardings, double-buffered H2D) or measuring host-side
+        throughput in isolation (examples/bench_e2e.py).
       resume_from: a `loader_state` dict (`{'epoch': E, 'batch_index': B}`)
         taken from a previously yielded batch — iteration resumes with the
         batch that FOLLOWED it: epoch E's permutation is re-derived from
@@ -126,6 +130,7 @@ class TextImageLoader:
                  shard_count: Optional[int] = None,
                  shard_index: Optional[int] = None,
                  image_dtype: str = "float32",
+                 device_put: bool = True,
                  resume_from: Optional[dict] = None):
         self._examples = examples
         self.batch_size = batch_size
@@ -154,6 +159,7 @@ class TextImageLoader:
         assert 0 <= self.shard_index < self.shard_count
         # jnp.dtype resolves 'bfloat16' (ml_dtypes) alongside numpy names
         self._image_dtype = jnp.dtype(image_dtype)
+        self.device_put = device_put
 
         if resume_from is not None:
             if not _is_indexable(examples):
@@ -317,6 +323,8 @@ class TextImageLoader:
         multihost = jax.process_count() > 1
 
         def place(arr):
+            if not self.device_put:
+                return arr
             if self.mesh is None:
                 return jax.device_put(arr)
             sharding = data_sharding(self.mesh, arr.ndim)
