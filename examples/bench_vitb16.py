@@ -9,6 +9,14 @@ script demonstrates the kernel stack's generality one model class up
 Usage: python examples/bench_vitb16.py [batch] [steps]
 Prints one JSON line with the measured pairs/s and every kernel gate's
 verdict at this shape.
+
+XCLIP_VMEM_KIB overrides the scoped-VMEM limit (default 32768 = 32 MB
+here: the TEXT megablock at this shape runs at n_pad 384 — 257 tokens
+rounded to the kernel's 128-grain — whose recompute backward estimates
+~28.4 MB, over the flagship's 24 MB limit; gating it off forces the
+whole-head attention fallback AND disables the sequence alignment that
+makes the FF flatten a free bitcast, ~26 ms/step of relayout copies in
+the r5 device trace).
 """
 
 import json
@@ -20,8 +28,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 _args = os.environ.get("LIBTPU_INIT_ARGS", "")
 if "scoped_vmem" not in _args:
+    kib = int(os.environ.get("XCLIP_VMEM_KIB", "32768"))
     os.environ["LIBTPU_INIT_ARGS"] = (
-        _args + " --xla_tpu_scoped_vmem_limit_kib=24576").strip()
+        _args + f" --xla_tpu_scoped_vmem_limit_kib={kib}").strip()
 
 import jax
 import jax.numpy as jnp
@@ -30,13 +39,15 @@ import numpy as np
 
 def gate_report():
     """Every Pallas kernel's supported() verdict at the ViT-B/16 shapes
-    (dim 768, 12 heads x 64, inner 3072; text n_pad 272, vision n_pad 144)
-    under the ACTIVE scoped-VMEM limit."""
+    (dim 768, 12 heads x 64, inner 3072) under the ACTIVE scoped-VMEM
+    limit. n_pads are the megablock's REAL 128-grain round-ups of the
+    tower sequences (text 257 → 384, vision 129 kept → 256), not the
+    16-grain aligned lengths the r4 report mistakenly probed (272/144)."""
     from xclip_tpu.kernels import (attention_block, attention_megablock,
                                    fused_ff_block)
     from xclip_tpu.kernels._common import scoped_vmem_limit_bytes
     gates = {"scoped_vmem_limit_mib": scoped_vmem_limit_bytes() / 2**20}
-    for n_pad, tower in ((272, "text"), (144, "vision")):
+    for n_pad, tower in ((384, "text"), (256, "vision")):
         for store in (False, True):
             key = f"megablock_{tower}_{'stored' if store else 'recompute'}"
             gates[key] = attention_megablock.supported(
@@ -81,14 +92,18 @@ def main():
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     gates = gate_report()
     # memory-lean production config for the larger local batch (the stored
-    # residuals OOM at b128 — docs/SCALING.md): recompute-backward kernels
+    # residuals OOM at b128 — docs/SCALING.md): recompute-backward kernels.
+    # XCLIP_BENCH_ATTN / XCLIP_BENCH_FF override for A/B runs.
+    attn_impl = os.environ.get("XCLIP_BENCH_ATTN", "fused_recompute")
+    ff_impl = os.environ.get("XCLIP_BENCH_FF", "block")
     pairs, loss = run(batch, steps, warmup=2,
-                      attn_impl="fused_recompute", ff_impl="block")
+                      attn_impl=attn_impl, ff_impl=ff_impl)
     print(json.dumps({
         "metric": "pairs/s/chip (ViT-B/16-class, dim 768, 12+12, 256px/p16)",
         "value": round(pairs, 1), "batch_size": batch,
-        "config": {"attn_impl": "fused_recompute", "ff_impl": "block",
-                   "param_dtype": "bfloat16"},
+        "config": {"attn_impl": attn_impl, "ff_impl": ff_impl,
+                   "param_dtype": "bfloat16",
+                   "ff_p2_fed": os.environ.get("XCLIP_FF_P2_FED", "auto")},
         "final_loss": round(loss, 4), "gates": gates,
     }))
 

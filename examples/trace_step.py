@@ -27,35 +27,75 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 _args = os.environ.get("LIBTPU_INIT_ARGS", "")
 if "scoped_vmem" not in _args:
+    # dim768 needs 32MB scoped VMEM for the text megablock at n_pad 384
+    # (see bench_vitb16.py); the flagship uses the production 24MB
+    kib = int(os.environ.get(
+        "XCLIP_VMEM_KIB", "32768" if "--dim768" in sys.argv else "24576"))
     os.environ["LIBTPU_INIT_ARGS"] = (
-        _args + " --xla_tpu_scoped_vmem_limit_kib=24576").strip()
+        _args + f" --xla_tpu_scoped_vmem_limit_kib={kib}").strip()
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-BUCKETS = [
-    # (bucket, regex over the trace event name) — first match wins
-    ("ff_fwd_kernel", r"fwd_kernel_store_geglu|fwd_kernel_store\b|ff.*fwd_kernel|_fwd_kernel\b"),
-    ("ff_bwd_p1", r"bwd_dx_kernel"),
-    ("ff_bwd_p2", r"bwd_dw_kernel"),
-    ("attn_fwd_kernel", r"attention.*fwd|fwd_kernel_stats|fwd_kernel_stored"),
-    ("attn_bwd_kernel", r"_bwd_kernel"),
-    ("dwqkv_dot", r"dwqkv|dot.*dqkv"),
-    ("xla_attention", r"attention"),
-    ("xla_feed_forward", r"feed_forward"),
-    ("embedding", r"embed|scatter|gather.*table|take"),
-    ("patchify", r"patch|conv"),
-    ("optimizer", r"adam|optimizer|clip_by|global_norm"),
-    ("loss", r"contrastive|logsumexp|loss|softmax_cross"),
-    ("copies_layout", r"^copy|fusion.*transpose|bitcast|convert"),
-]
-
-
-def classify(name):
-    for bucket, pat in BUCKETS:
-        if re.search(pat, name, re.IGNORECASE):
+def classify(name, long_name):
+    """Bucket one XLA-Ops event. Pallas kernels appear as custom-calls
+    named by their innermost jax named_scope ('feed_forward.N' /
+    'attention.N'), so the PASS is identified from the custom-call's
+    OUTPUT signature in long_name, and the tower from the row count of the
+    first operand:
+      FF  p1  → emits the packed (2, rows) m1/m2 f32 tensor; the FED
+                variant instead emits ≥4 bf16 tensors (dx/dh/y/xn) plus
+                the (1, d) f32 dg rows and NO row-stats pack
+      FF  p2  → emits the three f32 dW matrices (and nothing else)
+      FF fwd  → emits the (4, rows) f32 LN-stats pack (+ optional stored
+                activations)
+      attn fwd/bwd → stats pack out vs multi-bf16-gradient out
+    """
+    scope = re.sub(r"\.\d+$", "", name)
+    ln = long_name or ""
+    outs = ln.split(" custom-call(")[0] if " custom-call(" in ln else ""
+    rows = ""
+    m = re.search(r"custom-call\((?:\()?[a-z0-9]+\[(\d+),", ln)
+    if m:
+        rows = f"[r{m.group(1)}]"
+    if "custom-call" in ln:
+        if scope == "feed_forward":
+            if re.search(r"f32\[2,\d+\]", outs):
+                return f"ff_bwd_p1{rows}"
+            if re.search(r"f32\[4,\d+\]", outs):
+                return f"ff_fwd{rows}"
+            if len(re.findall(r"bf16\[", outs)) >= 4 \
+                    and re.search(r"f32\[1,\d+\]", outs):
+                return f"ff_bwd_p1{rows}"
+            if "bf16" in outs:
+                return f"ff_fwd{rows}"
+            return f"ff_bwd_p2{rows}"
+        if scope == "attention":
+            # backward emits several bf16 gradient tensors and no f32
+            # stats pack; forward emits out (+ residuals) + the stats pack
+            n_bf16 = len(re.findall(r"bf16\[", outs))
+            has_stats = re.search(r"f32\[\d+,\d+\]", outs)
+            if has_stats and n_bf16 <= 4:
+                return f"attn_fwd{rows}"
+            return f"attn_bwd{rows}"
+        return f"pallas_{scope}{rows}"
+    if scope in ("feed_forward", "attention"):
+        return f"xla_{scope}"
+    full = f"{name} {ln}"
+    for bucket, pat in [
+        ("dW_dots", r"dot.*dqkv|transpose.*dot"),
+        ("embedding", r"embed|scatter|dynamic-update|take"),
+        ("patchify", r"patch|conv"),
+        ("optimizer", r"adam|optimizer|clip_by|global_norm"),
+        ("loss", r"contrastive|logsumexp|loss|softmax_cross"),
+        ("copies_layout", r"^copy|^pad|^reshape|^slice|transpose|bitcast|"
+                          r"convert|^broadcast"),
+    ]:
+        if re.search(pat, full, re.IGNORECASE):
             return bucket
+    if "fusion" in name:
+        return "xla_fusions"
     return "other"
 
 
@@ -66,28 +106,31 @@ def summarize(logdir, steps):
     with gzip.open(sorted(files)[-1], "rt") as f:
         trace = json.load(f)
     events = trace.get("traceEvents", [])
-    # find TensorCore-ish pids: process names containing 'TPU' and track
-    # names that are op streams (XLA Ops / TensorCore); fall back to
-    # summing complete events with 'dur' on device pids
+    # the profile holds THREE device tracks covering the same wall time
+    # (Steps / XLA Modules / XLA Ops) — sum ONLY the op-level track or
+    # everything triple-counts
     pid_names = {e.get("pid"): e.get("args", {}).get("name", "")
                  for e in events if e.get("ph") == "M"
                  and e.get("name") == "process_name"}
-    device_pids = {pid for pid, n in pid_names.items()
-                   if re.search(r"TPU|/device", n or "")}
+    tid_names = {(e.get("pid"), e.get("tid")):
+                 e.get("args", {}).get("name", "")
+                 for e in events if e.get("ph") == "M"
+                 and e.get("name") == "thread_name"}
     by_bucket = defaultdict(float)
     by_name = defaultdict(float)
     total = 0.0
     for e in events:
         if e.get("ph") != "X" or "dur" not in e:
             continue
-        if device_pids and e.get("pid") not in device_pids:
+        if not re.search(r"TPU|/device",
+                         pid_names.get(e.get("pid"), "") or ""):
+            continue
+        if tid_names.get((e.get("pid"), e.get("tid"))) != "XLA Ops":
             continue
         name = e.get("name", "")
-        args_name = e.get("args", {}).get("long_name", "") or \
-            e.get("args", {}).get("name", "")
-        full = f"{name} {args_name}"
+        ln = e.get("args", {}).get("long_name", "") or ""
         dur_ms = e["dur"] / 1e3
-        by_bucket[classify(full)] += dur_ms
+        by_bucket[classify(name, ln)] += dur_ms
         by_name[name] += dur_ms
         total += dur_ms
     per_step = {k: round(v / steps, 3)
