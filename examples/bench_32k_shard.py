@@ -6,7 +6,10 @@ v5e-16 data-parallel slice (BASELINE.json configs[4]).
 Prints one JSON line: pairs/s/chip, peak HBM from XLA's memory analysis,
 and the final loss. r5 re-measure target (VERDICT r4 #2): ≥1,650 pairs/s
 at ≤11.6 GB after the forward-stored row statistics were ported to the
-recompute backward variants.
+recompute backward variants — measured 1,676 @ 11.55 GB; the CHUNKED-FED
+FF dW pass (fused_ff_block._p2_fed_choice) then lifted it to
+**1,978 @ 11.64 GB** (+18%, hand-off chunks serialized so only one
+~217 MB transient is alive at a time).
 
 Usage: python examples/bench_32k_shard.py [local_batch] [steps]
 """

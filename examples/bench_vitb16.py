@@ -10,13 +10,16 @@ Usage: python examples/bench_vitb16.py [batch] [steps]
 Prints one JSON line with the measured pairs/s and every kernel gate's
 verdict at this shape.
 
-XCLIP_VMEM_KIB overrides the scoped-VMEM limit (default 32768 = 32 MB
-here: the TEXT megablock at this shape runs at n_pad 384 — 257 tokens
-rounded to the kernel's 128-grain — whose recompute backward estimates
-~28.4 MB, over the flagship's 24 MB limit; gating it off forces the
-whole-head attention fallback AND disables the sequence alignment that
-makes the FF flatten a free bitcast, ~26 ms/step of relayout copies in
-the r5 device trace).
+XCLIP_VMEM_KIB overrides the scoped-VMEM limit (default 40960 = 40 MB
+here). Two thresholds stack at this shape: the TEXT megablock runs at
+n_pad 384 — 257 tokens rounded to the kernel's 128-grain — whose
+recompute backward estimates ~28.4 MB, over the flagship's 24 MB limit
+(gating it off forces the whole-head attention fallback AND disables the
+sequence alignment that makes the FF flatten a free bitcast, ~26 ms/step
+of relayout copies in the r5 device trace: 329 → 349.8 pairs/s at
+32 MB); and the FED FF pass-1 kernel needs ~38 MB at its 128-row tile
+(the transposed-stats layout forbids halving it — fused_ff_block.
+_p2_fed_choice), worth another +20% (→ 420.0 pairs/s at 40 MB).
 """
 
 import json
@@ -28,7 +31,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 _args = os.environ.get("LIBTPU_INIT_ARGS", "")
 if "scoped_vmem" not in _args:
-    kib = int(os.environ.get("XCLIP_VMEM_KIB", "32768"))
+    kib = int(os.environ.get("XCLIP_VMEM_KIB", "40960"))
     os.environ["LIBTPU_INIT_ARGS"] = (
         _args + f" --xla_tpu_scoped_vmem_limit_kib={kib}").strip()
 

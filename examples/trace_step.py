@@ -28,9 +28,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 _args = os.environ.get("LIBTPU_INIT_ARGS", "")
 if "scoped_vmem" not in _args:
     # dim768 needs 32MB scoped VMEM for the text megablock at n_pad 384
-    # (see bench_vitb16.py); the flagship uses the production 24MB
+    # and 40MB for the fed FF pass 1 (see bench_vitb16.py); the flagship
+    # uses the production 24MB
     kib = int(os.environ.get(
-        "XCLIP_VMEM_KIB", "32768" if "--dim768" in sys.argv else "24576"))
+        "XCLIP_VMEM_KIB", "40960" if "--dim768" in sys.argv else "24576"))
     os.environ["LIBTPU_INIT_ARGS"] = (
         _args + f" --xla_tpu_scoped_vmem_limit_kib={kib}").strip()
 

@@ -109,25 +109,63 @@ def test_ff_block_fed_dw_pass_matches_self_contained(monkeypatch):
     g_fed = grads()
     monkeypatch.setenv("XCLIP_FF_P2_FED", "0")
     g_self = grads()
-    for name, a, b in zip(["dx", "dg_pre", "dw_in", "dg_inner", "dw_out"],
-                          g_fed, g_self):
+    # CHUNKED fed: force the hand-off budget below this shape's ~84 KB
+    # transient so the backward runs the pass-1/pass-2 pair per row chunk
+    # (serialized, dW partials summed) — must agree with both other modes
+    monkeypatch.setenv("XCLIP_FF_P2_FED", "auto")
+    monkeypatch.setenv("XCLIP_FF_P2_FED_MAX_MB", "0.05")
+    monkeypatch.setenv("XCLIP_FF_P2_FED_CHUNK_MB", "0.03")
+    assert _p2_fed_choice(48, 64, 256, jnp.float32, 16, True,
+                          fwd_block_rows=16)[2] > 1
+    g_chunk = grads()
+    monkeypatch.delenv("XCLIP_FF_P2_FED_MAX_MB")
+    monkeypatch.delenv("XCLIP_FF_P2_FED_CHUNK_MB")
+    for name, a, b, c in zip(["dx", "dg_pre", "dw_in", "dg_inner", "dw_out"],
+                             g_fed, g_self, g_chunk):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-6, atol=2e-6, err_msg=name)
+        np.testing.assert_allclose(np.asarray(c), np.asarray(b),
+                                   rtol=2e-6, atol=2e-6,
+                                   err_msg="chunked " + name)
 
     # the auto gates (interpret=True skips the scoped-VMEM check):
     monkeypatch.delenv("XCLIP_FF_P2_FED", raising=False)
     # dim-768 b128 text tower: 34816 rows × (6144+3072+768) bf16 = 663 MB
-    assert _p2_fed_choice(34816, 768, 6144, jnp.bfloat16, 128, True)[0]
+    # → single-shot
+    assert _p2_fed_choice(34816, 768, 6144, jnp.bfloat16, 128, True,
+                          fwd_block_rows=256) == (True, 128, 1)
     # 32k-shard text tower: 557056 rows × (4096+2048+512) bf16 = 6.9 GB
-    assert not _p2_fed_choice(557056, 512, 4096, jnp.bfloat16, 128, True)[0]
+    # → chunked: 32 × 217 MB under the 256 MB per-chunk default
+    assert _p2_fed_choice(557056, 512, 4096, jnp.bfloat16, 128, True,
+                          fwd_block_rows=256) == (True, 128, 32)
+    # chunking disabled → self-contained above MAX_MB
+    monkeypatch.setenv("XCLIP_FF_P2_FED_CHUNKED", "0")
+    assert not _p2_fed_choice(557056, 512, 4096, jnp.bfloat16, 128, True,
+                              fwd_block_rows=256)[0]
+    monkeypatch.delenv("XCLIP_FF_P2_FED_CHUNKED")
 
     # the scoped-VMEM estimate, calibrated on the compiler's report at
     # the dim-768 128-row tile (36.85 MiB): estimate must bound it from
     # above but stay under the 40 MiB limit the fed bench runs at
     est128 = _p1_fed_vmem_bytes(128, 768, 6144, 2)
     assert 36.85 * 2**20 < est128 <= 40 * 2**20, est128 / 2**20
-    # and halving the tile must fit a 32 MiB limit
-    assert _p1_fed_vmem_bytes(64, 768, 6144, 2) <= 32 * 2**20
+
+    # under a 32 MiB limit the 128-row tile doesn't fit, and with
+    # TRANSPOSED stats (min_rows=128: their block's lane dim is the row
+    # tile, 128-divisible per Mosaic) halving is illegal → fed gates OFF
+    # (measured lowering failure at br=64 before this gate); without the
+    # transposed constraint it halves to 64, which fits
+    monkeypatch.setenv("LIBTPU_INIT_ARGS",
+                       "--xla_tpu_scoped_vmem_limit_kib=32768")
+    assert _p2_fed_choice(34816, 768, 6144, jnp.bfloat16, 128, False,
+                          min_rows=128) == (False, 128, 1)
+    assert _p2_fed_choice(34816, 768, 6144, jnp.bfloat16, 128, False,
+                          min_rows=32) == (True, 64, 1)
+    # at 40 MiB the full 128-row tile fits regardless
+    monkeypatch.setenv("LIBTPU_INIT_ARGS",
+                       "--xla_tpu_scoped_vmem_limit_kib=40960")
+    assert _p2_fed_choice(34816, 768, 6144, jnp.bfloat16, 128, False,
+                          min_rows=128) == (True, 128, 1)
 
 
 def test_ff_block_3d_and_padding():

@@ -34,11 +34,14 @@ dh/y/xn operands it already materialized for its own dots, and pass 2 is
 pure dW dots (half the MXU work; the hand-off is a per-layer transient,
 never a forward residual; +20% at dim-768 b128: 349.9 → 420.0 pairs/s) —
 vs SELF-CONTAINED, which re-derives a/b/dy per column block from x and
-the weights. `_p2_fed_choice` gates the hand-off on HBM size (default
-≤ 1 GB, env XCLIP_FF_P2_FED / XCLIP_FF_P2_FED_MAX_MB) and on the fed
-pass 1 fitting scoped VMEM (halving its row tile if needed): fed at the
-dim-768 b128 shape under a ≥40 MiB limit, self-contained at the
-32k-batch 2048-row shard where the hand-off would be ~6.9 GB.
+the weights. `_p2_fed_choice` gates the hand-off on HBM size (single
+shot ≤ 1 GB, env XCLIP_FF_P2_FED / XCLIP_FF_P2_FED_MAX_MB; above that
+CHUNKED — the pass-1/pass-2 pair runs per equal row chunk, serialized
+so one ≤256 MB hand-off is alive at a time, dW partials summed — e.g.
+32 chunks at the 32k-batch 2048-row shard whose single-shot hand-off
+would be ~6.9 GB) and on the fed pass 1 fitting scoped VMEM (halving
+its row tile if needed): fed single-shot at the dim-768 b128 shape
+under a ≥40 MiB limit.
 
 `store_h=True` trades HBM traffic for the recompute tax: the forward ALSO
 emits `h = LN(x) @ w_in` in the storage dtype, and both backward passes read
@@ -70,6 +73,7 @@ tiles, 516→1024-program grids), a net loss. The flat layout stays.
 from __future__ import annotations
 
 import functools
+import math
 import os
 
 import jax
@@ -932,48 +936,76 @@ def _p1_fed_vmem_bytes(block_rows: int, d: int, two_inner: int,
 
 
 def _p2_fed_choice(rows_pad: int, d: int, two_inner: int, dtype,
-                   block_rows: int, interpret: bool):
+                   block_rows: int, interpret: bool, min_rows: int = 32,
+                   fwd_block_rows: int = None):
     """Whether the recompute backward runs its dW pass FED by pass 1
     (pass 1 emits dh/y/xn; pass 2 is pure dW dots at half the MXU work —
     +20% at the dim-768 b128 shape) vs SELF-CONTAINED (pass 2 re-derives
-    a/b/dy per column block). Returns (fed, pass1_block_rows).
+    a/b/dy per column block). Returns (fed, pass1_block_rows, n_chunks).
 
     Two gates:
       * HBM: the hand-off tensor is (rows, 2·inner + inner + d) in the
         storage dtype, alive only between the two passes of ONE layer's
         backward — unlike the store_h forward residual it never
         multiplies by depth, but at the 32k-batch shard (557k rows) it
-        would still be ~6.9 GB. Auto enables below XCLIP_FF_P2_FED_MAX_MB
-        (1024 — covers the dim-768 b128 text tower's 663 MB, excludes
-        the 2048-local-batch shard).
+        would be ~6.9 GB in one piece. Single-shot below
+        XCLIP_FF_P2_FED_MAX_MB (1024 — covers the dim-768 b128 text
+        tower's 663 MB); above it, CHUNKED: the row range is split into
+        the fewest equal chunks (each a multiple of the forward tile,
+        dividing rows_pad) whose hand-off stays under
+        XCLIP_FF_P2_FED_CHUNK_MB (256 — ~6.7 MB/step of extra HBM at the
+        32k shard), and the backward runs the pass-1/pass-2 pair
+        per-chunk, serialized so one hand-off is alive at a time.
+        XCLIP_FF_P2_FED_CHUNKED=0 disables chunking (falls back to
+        self-contained above MAX_MB).
       * scoped VMEM: the fed pass 1 carries ~5 MiB more of double-
         buffered outputs than the self-contained kernel (36.85 vs ~32 MiB
         at dim-768's 128-row tile) — if the estimate exceeds the active
-        limit, the row tile is halved while it still divides rows_pad;
-        if even the smallest dividing tile doesn't fit, fall back to
-        self-contained. XCLIP_FF_P2_FED=0 forces off; =1 forces on (the
-        tile still auto-halves to fit).
+        limit, the row tile is halved while it still divides rows_pad
+        and stays >= min_rows (128 when the forward stored TRANSPOSED
+        (k, rows) stats: their block's LANE dim is the row tile, which
+        Mosaic requires 128-divisible — measured lowering failure at
+        br=64, dim-768 b128, 32 MiB); if even the smallest legal tile
+        doesn't fit, fall back to self-contained. XCLIP_FF_P2_FED=0
+        forces off; =1 forces on, single-shot (the tile still
+        auto-halves to fit).
     """
     mode = os.environ.get("XCLIP_FF_P2_FED", "auto")
     if mode == "0":
-        return False, block_rows
+        return False, block_rows, 1
     itemsize = jnp.dtype(dtype).itemsize
+    fwd_block_rows = fwd_block_rows or block_rows
+    n_chunks = 1
     if mode != "1":
         transient_mb = (rows_pad * (two_inner + two_inner // 2 + d)
                         * itemsize / 2**20)
         if transient_mb > float(
                 os.environ.get("XCLIP_FF_P2_FED_MAX_MB", "1024")):
-            return False, block_rows
+            if os.environ.get("XCLIP_FF_P2_FED_CHUNKED", "1") == "0":
+                return False, block_rows, 1
+            chunk_mb = float(
+                os.environ.get("XCLIP_FF_P2_FED_CHUNK_MB", "256"))
+            want = max(2, math.ceil(transient_mb / chunk_mb))
+            n_chunks = 0
+            for n in range(want, min(want + 229, rows_pad) + 1):
+                if (rows_pad % n == 0
+                        and (rows_pad // n) % fwd_block_rows == 0):
+                    n_chunks = n
+                    break
+            if not n_chunks:
+                return False, block_rows, 1
     if interpret:  # no VMEM on the CPU interpreter
-        return True, block_rows
+        return True, block_rows, n_chunks
     limit = scoped_vmem_limit_bytes()
     br = block_rows
     while (_p1_fed_vmem_bytes(br, d, two_inner, itemsize) > limit
-           and br > 32 and br % 2 == 0 and rows_pad % (br // 2) == 0):
+           and br > min_rows and br % 2 == 0
+           and (br // 2) % min_rows == 0
+           and rows_pad % (br // 2) == 0):
         br //= 2
     if _p1_fed_vmem_bytes(br, d, two_inner, itemsize) > limit:
-        return mode == "1", br  # forced: let the compiler try anyway
-    return True, br
+        return mode == "1", br, n_chunks  # forced: let the compiler try
+    return True, br, n_chunks
 
 
 def _clamp_blocks(x, w_in, block_rows, block_cols):
@@ -1019,6 +1051,143 @@ def _ff_block_fwd(x, g_pre, w_in, g_inner, w_out,
             (x, g_pre, w_in, g_inner, w_out, (stats,)))
 
 
+def _ff_block_bwd_fed(x, x2, do2, g_pre, w_in, g_inner, w_out, f_stats,
+                      rows, rows_pad, block_rows, block_cols,
+                      fwd_block_rows, stats_T, n_chunks, interpret):
+    """The FED recompute backward (see _p2_fed_choice): pass 1 emits the
+    dh/y/xn operands it already materialized, pass 2 is pure dW dots. Run
+    over `n_chunks` equal row ranges — inputs are never sliced (the chunk
+    is addressed through BlockSpec index-map offsets over the full
+    arrays); per-chunk outputs are dx (written back into one buffer via
+    dynamic_update_slice) and fp32 dW/dg partials (summed). Chunks are
+    serialized with an optimization_barrier tying chunk c's pass 1 to
+    chunk c-1's dW partial, so exactly one hand-off is alive at a time —
+    the HBM high-water mark is one chunk (~XCLIP_FF_P2_FED_CHUNK_MB), not
+    the 6.9 GB a single-shot hand-off would cost at the 32k-batch shard."""
+    d = x.shape[-1]
+    two_inner = w_in.shape[-1]
+    inner = two_inner // 2
+    ncb = inner // block_cols
+    assert inner % block_cols == 0, (inner, block_cols)
+    chunk_rows = rows_pad // n_chunks
+    assert chunk_rows % block_rows == 0, (chunk_rows, block_rows)
+    nbc = chunk_rows // block_rows
+    # pass 2 at the full forward tile (or double when the chunk allows) —
+    # same policy as the stored path
+    brows2 = fwd_block_rows
+    if chunk_rows % (2 * fwd_block_rows) == 0:
+        brows2 = 2 * fwd_block_rows
+    nb2c = chunk_rows // brows2
+
+    dw_out_specs = [
+        pl.BlockSpec((d, block_cols), lambda j, r: (0, j)),
+        pl.BlockSpec((d, block_cols), lambda j, r: (0, j)),
+        pl.BlockSpec((block_cols, d), lambda j, r: (j, 0)),
+    ]
+    dw_out_shape = [
+        jax.ShapeDtypeStruct((d, inner), jnp.float32),
+        jax.ShapeDtypeStruct((d, inner), jnp.float32),
+        jax.ShapeDtypeStruct((inner, d), jnp.float32),
+    ]
+    dw_scratch = [
+        pltpu.VMEM((d, block_cols), jnp.float32),
+        pltpu.VMEM((d, block_cols), jnp.float32),
+        pltpu.VMEM((block_cols, d), jnp.float32),
+    ]
+
+    def run_chunk(c, x2c, do2c):
+        off1 = c * nbc  # pass-1 row-block offset into the full arrays
+        row_in = lambda w: pl.BlockSpec((block_rows, w),
+                                        lambda i, o=off1: (i + o, 0))
+        out_row = lambda w: pl.BlockSpec((block_rows, w), lambda i: (i, 0))
+        if stats_T:
+            sspec = pl.BlockSpec((4, block_rows),
+                                 lambda i, o=off1: (0, i + o))
+        else:
+            sspec = pl.BlockSpec((block_rows, 4),
+                                 lambda i, o=off1: (i + o, 0))
+        dxc, dh, y, xn, dgpre_c, dgin_c = pl.pallas_call(
+            functools.partial(_bwd_dx_kernel_fed, num_blocks=nbc,
+                              stats_T=stats_T),
+            grid=(nbc,),
+            in_specs=[
+                row_in(d),
+                pl.BlockSpec((1, d), lambda i: (0, 0)),
+                pl.BlockSpec((d, two_inner), lambda i: (0, 0)),
+                pl.BlockSpec((1, inner), lambda i: (0, 0)),
+                pl.BlockSpec((inner, d), lambda i: (0, 0)),
+                row_in(d),
+                sspec,
+            ],
+            out_specs=[
+                out_row(d), out_row(two_inner), out_row(inner), out_row(d),
+                pl.BlockSpec((1, d), lambda i: (0, 0)),
+                pl.BlockSpec((1, inner), lambda i: (0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((chunk_rows, d), x.dtype),
+                jax.ShapeDtypeStruct((chunk_rows, two_inner), x.dtype),
+                jax.ShapeDtypeStruct((chunk_rows, inner), x.dtype),
+                jax.ShapeDtypeStruct((chunk_rows, d), x.dtype),
+                jax.ShapeDtypeStruct((1, d), jnp.float32),
+                jax.ShapeDtypeStruct((1, inner), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((1, d), jnp.float32),
+                pltpu.VMEM((1, inner), jnp.float32),
+            ],
+            interpret=interpret,
+        )(x2c, g_pre[None, :], w_in, g_inner[None, :], w_out, do2c,
+          f_stats)
+
+        off2 = c * nb2c  # pass-2 row-block offset (do2 is the full array)
+        dwina_c, dwinb_c, dwout_c = pl.pallas_call(
+            functools.partial(_bwd_dw_kernel_fed, num_row_blocks=nb2c),
+            grid=(ncb, nb2c),
+            in_specs=[
+                pl.BlockSpec((brows2, d), lambda j, r: (r, 0)),
+                pl.BlockSpec((brows2, d), lambda j, r, o=off2: (r + o, 0)),
+                # dh column slices: da-half then db-half (offset by inner)
+                pl.BlockSpec((brows2, block_cols), lambda j, r: (r, j)),
+                pl.BlockSpec((brows2, block_cols),
+                             lambda j, r: (r, j + ncb)),
+                pl.BlockSpec((brows2, block_cols), lambda j, r: (r, j)),
+            ],
+            out_specs=dw_out_specs,
+            out_shape=dw_out_shape,
+            scratch_shapes=dw_scratch,
+            interpret=interpret,
+        )(xn, do2c, dh, dh, y)
+        return dxc, dgpre_c, dgin_c, dwina_c, dwinb_c, dwout_c
+
+    if n_chunks == 1:
+        dx, dgpre, dgin, dwina, dwinb, dwout = run_chunk(0, x2, do2)
+    else:
+        dx = jnp.empty((rows_pad, d), x.dtype)
+        dgpre = dgin = dwina = dwinb = dwout = None
+        x2c, do2c = x2, do2
+        for c in range(n_chunks):
+            if c:
+                # serialize: chunk c's pass 1 waits for chunk c-1's dW so
+                # only one dh/y/xn hand-off is alive at a time
+                x2c, do2c, _ = jax.lax.optimization_barrier(
+                    (x2, do2, dwina))
+            dxc, *partials = run_chunk(c, x2c, do2c)
+            dx = jax.lax.dynamic_update_slice(dx, dxc,
+                                              (c * chunk_rows, 0))
+            acc = (dgpre, dgin, dwina, dwinb, dwout)
+            dgpre, dgin, dwina, dwinb, dwout = (
+                partials if c == 0 else
+                [a + p for a, p in zip(acc, partials)])
+
+    dw_in = jnp.concatenate([dwina, dwinb], axis=-1).astype(w_in.dtype)
+    return (dx[:rows].reshape(x.shape),
+            dgpre[0].astype(g_pre.dtype),
+            dw_in,
+            dgin[0].astype(g_inner.dtype),
+            dwout.astype(w_out.dtype))
+
+
 def _ff_block_bwd(block_rows, block_cols, interpret, store_h, res, dout):
     x, g_pre, w_in, g_inner, w_out, stored = res
     h2 = prod2 = gb2 = agdb2 = None
@@ -1051,10 +1220,14 @@ def _ff_block_bwd(block_rows, block_cols, interpret, store_h, res, dout):
     # recompute path only: decide the dW-pass mode (fed vs self-contained)
     # now — fed may halve the pass-1 row tile to fit its extra output
     # buffers in scoped VMEM (see _p2_fed_choice)
-    fed = False
+    fed, fed_chunks = False, 1
     if not store_h:
-        fed, block_rows = _p2_fed_choice(rows_pad, d, two_inner, x.dtype,
-                                         block_rows, interpret)
+        # transposed-stats blocks put the ROW tile in the lane dim, which
+        # Mosaic requires 128-divisible — bound the fed auto-halving there
+        min_rows = 128 if _stats_transposed(fwd_block_rows) else 32
+        fed, block_rows, fed_chunks = _p2_fed_choice(
+            rows_pad, d, two_inner, x.dtype, block_rows, interpret,
+            min_rows=min_rows, fwd_block_rows=fwd_block_rows)
     # rows were padded to the FORWARD tile; the halved backward tile must
     # divide that padding exactly or the pass-1 grid silently drops tail
     # rows (nb truncates) — defaults (256→128) are fine, but a custom odd
@@ -1080,6 +1253,13 @@ def _ff_block_bwd(block_rows, block_cols, interpret, store_h, res, dout):
                                             lambda i: (i, 0))
         stats_shape = lambda k: jax.ShapeDtypeStruct((rows_pad, k),
                                                      jnp.float32)
+
+    if fed:
+        return _ff_block_bwd_fed(
+            x, x2, do2, g_pre, w_in, g_inner, w_out, f_stats, rows,
+            rows_pad, block_rows, block_cols, fwd_block_rows, stats_T,
+            fed_chunks, interpret)
+
     dx_in_specs = [
         pl.BlockSpec((block_rows, d), lambda i: (i, 0)),
         pl.BlockSpec((1, d), lambda i: (0, 0)),
@@ -1124,27 +1304,12 @@ def _ff_block_bwd(block_rows, block_cols, interpret, store_h, res, dout):
     else:
         dx_in_specs += [stats_spec(4)]
         dx_args += [f_stats]
-        if fed:
-            kernel1 = functools.partial(_bwd_dx_kernel_fed, num_blocks=nb,
-                                        stats_T=stats_T)
-            # extra outputs: the pass-2 operands pass 1 already built
-            dx_out_specs += [
-                pl.BlockSpec((block_rows, two_inner), lambda i: (i, 0)),
-                pl.BlockSpec((block_rows, inner), lambda i: (i, 0)),
-                pl.BlockSpec((block_rows, d), lambda i: (i, 0)),
-            ]
-            dx_out_shape += [
-                jax.ShapeDtypeStruct((rows_pad, two_inner), x.dtype),
-                jax.ShapeDtypeStruct((rows_pad, inner), x.dtype),
-                jax.ShapeDtypeStruct((rows_pad, d), x.dtype),
-            ]
-        else:
-            kernel1 = functools.partial(_bwd_dx_kernel, num_blocks=nb,
-                                        stats_T=stats_T)
-            # extra output: only the cotangent-dependent m1/m2 (the LN
-            # mean/inv the dW pass needs are forward-stored)
-            dx_out_specs += [stats_spec(2)]
-            dx_out_shape += [stats_shape(2)]
+        kernel1 = functools.partial(_bwd_dx_kernel, num_blocks=nb,
+                                    stats_T=stats_T)
+        # extra output: only the cotangent-dependent m1/m2 (the LN
+        # mean/inv the dW pass needs are forward-stored)
+        dx_out_specs += [stats_spec(2)]
+        dx_out_shape += [stats_shape(2)]
     dx_out_specs += [
         pl.BlockSpec((1, d), lambda i: (0, 0)),
         pl.BlockSpec((1, inner), lambda i: (0, 0)),
@@ -1165,13 +1330,9 @@ def _ff_block_bwd(block_rows, block_cols, interpret, store_h, res, dout):
         ],
         interpret=interpret,
     )(*dx_args)
-    dh2 = y2 = xn2 = None
     if store_h:
         dx, dprod2, dgpre, dgin = outs
         m12 = None
-    elif fed:
-        dx, dh2, y2, xn2, dgpre, dgin = outs
-        m12 = dprod2 = None
     else:
         dx, m12, dgpre, dgin = outs
         dprod2 = None
@@ -1182,14 +1343,14 @@ def _ff_block_bwd(block_rows, block_cols, interpret, store_h, res, dout):
     ncb = inner // block_cols
     assert inner % block_cols == 0, (inner, block_cols)
 
-    # stored/fed paths: pass 2 reads precomputed operands instead of the
+    # stored path: pass 2 reads precomputed operands instead of the
     # weight matrices, so its VMEM footprint is tiny — run it at the FULL
     # forward row tile (divides rows_pad by construction), doubling the K
     # of the dW dots; when the row count happens to be 512-divisible (it
     # is for both flagship towers once transformer_apply sublane-aligns
     # the sequence), go to K=512
-    block_rows2 = fwd_block_rows if (store_h or fed) else block_rows
-    if (store_h or fed) and rows_pad % (2 * fwd_block_rows) == 0:
+    block_rows2 = fwd_block_rows if store_h else block_rows
+    if store_h and rows_pad % (2 * fwd_block_rows) == 0:
         block_rows2 = 2 * fwd_block_rows
     nb2 = rows_pad // block_rows2
 
@@ -1258,24 +1419,6 @@ def _ff_block_bwd(block_rows, block_cols, interpret, store_h, res, dout):
             interpret=interpret,
         )(x2, g_pre[None, :], g_inner[None, :], do2, h2, h2, dprod2,
           f_stats)
-    elif fed:
-        dwina, dwinb, dwout = pl.pallas_call(
-            functools.partial(_bwd_dw_kernel_fed, num_row_blocks=nb2),
-            grid=(ncb, nb2),
-            in_specs=[
-                pl.BlockSpec((block_rows2, d), lambda j, r: (r, 0)),
-                pl.BlockSpec((block_rows2, d), lambda j, r: (r, 0)),
-                # dh column slices: da-half then db-half (offset by inner)
-                pl.BlockSpec((block_rows2, block_cols), lambda j, r: (r, j)),
-                pl.BlockSpec((block_rows2, block_cols),
-                             lambda j, r: (r, j + ncb)),
-                pl.BlockSpec((block_rows2, block_cols), lambda j, r: (r, j)),
-            ],
-            out_specs=dw_out_specs,
-            out_shape=dw_out_shape,
-            scratch_shapes=dw_scratch,
-            interpret=interpret,
-        )(xn2, do2, dh2, dh2, y2)
     else:
         w_in_a, w_in_b = w_in[:, :inner], w_in[:, inner:]
         dwina, dwinb, dwout = pl.pallas_call(
