@@ -222,11 +222,23 @@ class TextImageLoader:
                 t = np.asarray(t, dtype=np.int32)[: self.context_length]
                 tokens[i, : len(t)] = t
         # decode/resize in fp32, quantize once at the batch boundary (a
-        # per-example bf16 asarray would round twice through PIL paths)
-        images = np.stack([np.asarray(im, dtype=np.float32) for im in images])
-        if self._image_dtype != np.float32:
-            images = images.astype(self._image_dtype)
-        return tokens, images
+        # per-example bf16 asarray would round twice through PIL paths).
+        # Write each example straight into one preallocated batch buffer:
+        # the assignment fuses the dtype cast with the copy in a single
+        # pass, and avoids np.stack's expanded-view concatenate + the
+        # separate astype, each of which allocates another full batch
+        # (measured on the 1-core build VM: np.stack of 256 fp32 images
+        # took 1.8-6.8 s/batch vs ~0.1 s for this loop — large fresh
+        # allocations page-fault at a fraction of memcpy speed there, and
+        # one output allocation is the floor any collate needs)
+        # (asarray keeps the fp32-first rounding semantics for non-fp32
+        # sources and is a no-copy view for the common fp32 dataset output)
+        first = np.asarray(images[0], dtype=np.float32)
+        out = np.empty((len(images),) + first.shape, dtype=self._image_dtype)
+        out[0] = first
+        for i, im in enumerate(images[1:], start=1):
+            out[i] = np.asarray(im, dtype=np.float32)
+        return tokens, out
 
     # ------------------------------------------- indexable (pooled) source
     def _epoch_indices(self, n: int, epoch: int) -> np.ndarray:
