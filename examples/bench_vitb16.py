@@ -19,7 +19,11 @@ sequence alignment that makes the FF flatten a free bitcast, ~26 ms/step
 of relayout copies in the r5 device trace: 329 → 349.8 pairs/s at
 32 MB); and the FED FF pass-1 kernel needs ~38 MB at its 128-row tile
 (the transposed-stats layout forbids halving it — fused_ff_block.
-_p2_fed_choice), worth another +20% (→ 420.0 pairs/s at 40 MB).
+_p2_fed_choice), worth another +20% (→ 420.9 pairs/s at 40 MB). The r5
+qkv-only stored attention (`attn_impl='fused_qkv'`: backward reads the
+forward-stored qkv instead of re-projecting it, everything else stays
+recompute) adds +3% on top (→ 433.4) for +2.6 GB HBM — the residual the
+FULL stored variant cannot afford at this batch.
 """
 
 import json
@@ -51,8 +55,9 @@ def gate_report():
     from xclip_tpu.kernels._common import scoped_vmem_limit_bytes
     gates = {"scoped_vmem_limit_mib": scoped_vmem_limit_bytes() / 2**20}
     for n_pad, tower in ((384, "text"), (256, "vision")):
-        for store in (False, True):
-            key = f"megablock_{tower}_{'stored' if store else 'recompute'}"
+        for store in (False, "qkv", True):
+            name = {False: "recompute", "qkv": "qkv", True: "stored"}[store]
+            key = f"megablock_{tower}_{name}"
             gates[key] = attention_megablock.supported(
                 12, 64, 768, n_pad, jnp.bfloat16, store_qkv=store)
     gates["whole_head_attention"] = attention_block.supported(12, 64)
@@ -94,10 +99,12 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     gates = gate_report()
-    # memory-lean production config for the larger local batch (the stored
-    # residuals OOM at b128 — docs/SCALING.md): recompute-backward kernels.
+    # production config at this shape: qkv-only stored attention (the FULL
+    # stored residuals OOM at b128, but qkv alone is +2.6 GB on the 4.2 GB
+    # recompute peak → 6.85 GB, measured r5, and buys +3% over recompute:
+    # 420.9 → 433.4) + recompute-backward FF with the fed dW pass.
     # XCLIP_BENCH_ATTN / XCLIP_BENCH_FF override for A/B runs.
-    attn_impl = os.environ.get("XCLIP_BENCH_ATTN", "fused_recompute")
+    attn_impl = os.environ.get("XCLIP_BENCH_ATTN", "fused_qkv")
     ff_impl = os.environ.get("XCLIP_BENCH_FF", "block")
     pairs, loss = run(batch, steps, warmup=2,
                       attn_impl=attn_impl, ff_impl=ff_impl)

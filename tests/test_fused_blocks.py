@@ -235,6 +235,7 @@ def _mock_batch():
     dict(ff_impl="block_stored"),
     dict(attn_impl="fused", ff_impl="block_stored"),
     dict(attn_impl="fused_recompute", ff_impl="block"),
+    dict(attn_impl="fused_qkv", ff_impl="block"),
     dict(checkpoint_during_training=True, remat_policy="wide"),
     dict(attn_impl="fused", text_rotary_pos_emb=True),
     dict(attn_impl="fused", text_causal_mask=True, text_eos_id=99),
@@ -277,12 +278,14 @@ def _mega_ref(x, g_pre, w_qkv, w_out, g_out, mask, heads, d, scale, causal):
     return x + layer_norm_apply({"g": g_out}, out @ w_out)
 
 
-@pytest.mark.parametrize("store_qkv", [False, True])
+@pytest.mark.parametrize("store_qkv", [False, True, "qkv"])
 @pytest.mark.parametrize("causal", [False, True])
 def test_attention_megablock_matches_xla(causal, store_qkv):
     """store_qkv=True additionally exercises the forward-stored residuals
     (qkv/attnout/proj + the fp32 row-stats tensor whose stored softmax
-    max/normalizer and LN mean/inv replace the backward's reductions)."""
+    max/normalizer and LN mean/inv replace the backward's reductions);
+    store_qkv="qkv" the qkv-only middle variant (stored qkv read by a
+    recompute backward with in-VMEM dW accumulation)."""
     from xclip_tpu.kernels.attention_megablock import attention_block
 
     npr = np.random.RandomState(2)
@@ -314,7 +317,7 @@ def test_attention_megablock_matches_xla(causal, store_qkv):
         assert rel < 5e-4, (name, rel)
 
 
-@pytest.mark.parametrize("store_qkv", [False, True])
+@pytest.mark.parametrize("store_qkv", [False, True, "qkv"])
 def test_fully_masked_row_matches_xla_semantics(store_qkv):
     """An all-padding caption (all-False mask row) must produce the same
     output and grads as the XLA path, which softmaxes a constant
@@ -380,7 +383,8 @@ def test_sequence_alignment_pad_is_invisible():
 
     ref, gref = jax.value_and_grad(loss)(params, {})
     for kwargs in (dict(attn_impl="fused", ff_impl="block_stored"),
-                   dict(attn_impl="fused_recompute", ff_impl="block")):
+                   dict(attn_impl="fused_recompute", ff_impl="block"),
+                   dict(attn_impl="fused_qkv", ff_impl="block")):
         v, g = jax.value_and_grad(loss)(params, kwargs)
         assert abs(float(v) - float(ref)) / abs(float(ref)) < 2e-5, kwargs
         mx = max(jax.tree.leaves(jax.tree.map(
@@ -407,8 +411,12 @@ def test_supported_gate_reads_active_vmem_limit(monkeypatch):
                        "--xla_tpu_scoped_vmem_limit_kib=24576")
     assert supported(8, 64, 512, 384, jnp.bfloat16, store_qkv=True)
     assert supported(8, 64, 512, 384, jnp.bfloat16)
+    # the qkv-only middle variant fits the flagship's 24MB too
+    assert supported(8, 64, 512, 384, jnp.bfloat16, store_qkv="qkv")
     # the ViT-B/16-class towers need 32MB (docs/SCALING.md measured row)
     assert not supported(12, 64, 768, 384, jnp.bfloat16, store_qkv=True)
+    assert not supported(12, 64, 768, 384, jnp.bfloat16, store_qkv="qkv")
     monkeypatch.setenv("LIBTPU_INIT_ARGS",
                        "--xla_tpu_scoped_vmem_limit_kib=32768")
     assert supported(12, 64, 768, 384, jnp.bfloat16, store_qkv=True)
+    assert supported(12, 64, 768, 384, jnp.bfloat16, store_qkv="qkv")

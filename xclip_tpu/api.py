@@ -12,8 +12,9 @@ JAX-specific additions (keyword-only, all optional):
     Pallas kernels (megablock/head-group, the short-seq winners — see
     README Performance); 'fused_recompute' = megablock with the
     recompute backward (no stored-qkv residual — the memory-lean choice
-    for large local batches, docs/SCALING.md); 'flash' = k-blocked flash
-    (long seq, ≳2k)
+    for large local batches, docs/SCALING.md); 'fused_qkv' = megablock
+    storing ONLY qkv (the speed/HBM middle point — the dim-768 winner);
+    'flash' = k-blocked flash (long seq, ≳2k)
   * `loss_impl`    — 'xla' (default) or 'fused' (Pallas streaming-LSE)
   * `ff_impl`      — 'xla' (default); 'block' = whole-FF-block Pallas
     kernel (LN+GEGLU+LN+matmuls+residual, tile-wise recompute backward);

@@ -9,13 +9,23 @@ matmul, the output projection, both LayerNorms, and the residual add — per
 layer the only HBM traffic is x in, out out, and the weights (resident
 across the sequential grid), plus the stored residuals below.
 
-Two backward variants (`store_qkv`):
+Three backward variants (`store_qkv`):
 
-  * STORED (the training default where VMEM allows): the forward also
-    emits qkv, attnout, and the pre-LN projection (storage dtype); the
-    backward reads them — no LN+qkv, p@v, or projection recompute — and
-    emits dqkv per batch element instead of accumulating dW_qkv in VMEM
-    (the caller computes dW_qkv = LN(x)^T @ dqkv as one large XLA dot).
+  * STORED, `store_qkv=True` (the training default where VMEM allows):
+    the forward also emits qkv, attnout, and the pre-LN projection
+    (storage dtype); the backward reads them — no LN+qkv, p@v, or
+    projection recompute — and emits dqkv per batch element instead of
+    accumulating dW_qkv in VMEM (the caller computes
+    dW_qkv = LN(x)^T @ dqkv as one large XLA dot).
+  * QKV-ONLY, `store_qkv="qkv"` (`attn_impl='fused_qkv'`): the forward
+    emits ONLY qkv (+ the fp32 row stats); the backward reads it instead
+    of re-deriving LN + xn@w_qkv — the single largest dot of the
+    recompute backward (2·n·dim·3·hd FLOPs/row vs an O(n·3hd) read) —
+    while keeping the recompute variant's in-VMEM dW accumulation (no
+    dqkv round-trip through HBM). The middle point on the speed/HBM
+    curve: O(b·n·3hd) residual per layer vs full-store's O(b·n·5hd) —
+    built for the dim-768 class where full-store residuals blow HBM but
+    qkv alone fits (docs/SCALING.md).
   * RECOMPUTE (`attn_impl='fused_recompute'`, inference, or tight VMEM):
     a SINGLE kernel per layer re-derives everything and accumulates
     dW_qkv/dW_out as constant-index fp32 output blocks — no O(b·n·hd)
@@ -62,6 +72,10 @@ def supported(heads: int, dim_head: int, dim: int, n_pad: int,
     double-buffered input and dqkv a double-buffered output, and the
     forward-stored attnout/proj tiles two more inputs.
 
+    `store_qkv="qkv"` (the qkv-only variant): the recompute budget plus a
+    double-buffered stored-qkv input; both dW accumulators stay in VMEM
+    and there is no dqkv output.
+
     The budget tracks the ACTIVE Mosaic scoped-VMEM limit (16MB default;
     bench.py raises it to 24MB via LIBTPU_INIT_ARGS — _common.py)."""
     itemsize = 2 if dtype == jnp.bfloat16 else 4
@@ -72,7 +86,11 @@ def supported(heads: int, dim_head: int, dim: int, n_pad: int,
     qkv_tiles = 2 * n_pad * 3 * inner * itemsize    # qkv + dqkv
     f32_tmp = 5 * n_pad * dim * 4 + 2 * n_pad * n_pad * 4
     f32_tmp += 2 * n_pad * (2 * heads + 4) * 4      # fp32 row stats input
-    if store_qkv:
+    if store_qkv == "qkv":
+        # recompute-variant budget + the stored-qkv input double-buffered
+        # (the in-kernel qkv temporary it replaces is already counted)
+        qkv_tiles += 2 * n_pad * 3 * inner * itemsize
+    elif store_qkv:
         dw = inner * dim * 4                        # only dW_out stays
         qkv_tiles *= 2                              # both double-buffered
         qkv_tiles += 4 * n_pad * dim * itemsize     # attnout + proj inputs
@@ -307,6 +325,37 @@ def _fwd_kernel_stats(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref,
         ms + ls + [mean_pre, inv_pre, mean_o, inv_o], axis=-1).T
 
 
+def _fwd_kernel_qkv(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref,
+                    mask_ref, o_ref, qkv_ref, stats_ref, *, scale, causal,
+                    heads, dim_head, n_rows, eps, n_real, maybe_dead):
+    """Qkv-only stored forward: emits out, the fused qkv tensor (storage
+    dtype), and the fp32 row statistics — but NOT attnout/proj. The
+    backward (_bwd_kernel_qkv) reads qkv instead of re-deriving
+    LN + xn@w_qkv and recomputes the (cheaper) p@v / projection dots,
+    accumulating both dW matrices in VMEM like the recompute variant."""
+    x = x_ref[0]
+    gpre32 = gpre_ref[...].astype(jnp.float32)
+    gout32 = gout_ref[...].astype(jnp.float32)
+
+    _, _, _, qkv, po, attnout, _, _, stats_parts = _fwd_common(
+        x, gpre32, wqkv_ref[...], mask_ref[0], scale, causal, heads,
+        dim_head, n_rows, eps, n_real, maybe_dead, collect_stats=True)
+    qkv_ref[0, :n_rows] = qkv
+
+    proj = _dot(attnout, wout_ref[...])           # fp32 (n_rows, dim)
+    # inline _ln_fp32 (bit-identical op sequence) to keep mean_o/inv_o
+    mean_o = jnp.mean(proj, axis=-1, keepdims=True)
+    c_o = proj - mean_o
+    var_o = jnp.mean(c_o * c_o, axis=-1, keepdims=True)
+    inv_o = jax.lax.rsqrt(var_o + eps)
+    y32 = (c_o * inv_o) * gout32
+    o_ref[0, :n_rows] = y32.astype(o_ref.dtype) + x[:n_rows]
+    mean_pre, inv_pre, ms, ls = stats_parts
+    # stats stored TRANSPOSED, (n_stats, n) — see _fwd_kernel_stats
+    stats_ref[0, :, :n_rows] = jnp.concatenate(
+        ms + ls + [mean_pre, inv_pre, mean_o, inv_o], axis=-1).T
+
+
 def _fwd_kernel_stored(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref,
                        mask_ref, o_ref, qkv_ref, attnout_ref, proj_ref,
                        stats_ref, *, scale, causal, heads,
@@ -508,6 +557,86 @@ def _bwd_kernel(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref, mask_ref,
     dx_ref[0, :n_rows] = (dx_pre + do).astype(dx_ref.dtype)
 
 
+def _bwd_kernel_qkv(x_ref, gpre_ref, wqkv_ref, wout_ref, gout_ref, mask_ref,
+                    do_ref, qkv_ref, stats_ref,
+                    dx_ref, dwqkv_ref, dwout_ref, dgpre_ref, dgout_ref,
+                    *, scale, causal, heads, dim_head, n_rows, eps, n_real,
+                    maybe_dead):
+    """Backward with the forward-stored qkv (+ fp32 row stats): identical
+    math to _bwd_kernel, but the LN + xn@w_qkv recompute — its single
+    largest dot — is replaced by reading the stored qkv; p/attnout/proj
+    are still re-derived (their dots are ~half the qkv projection's
+    FLOPs) and dW_qkv/dW_out accumulate in VMEM, so the only HBM
+    residual beyond the recompute variant's is qkv itself. xn for the
+    dW_qkv dot is rebuilt ELEMENTWISE from x and the stored LN stats —
+    bitwise the forward's (same op sequence on the same inputs)."""
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _init():
+        dwqkv_ref[...] = jnp.zeros_like(dwqkv_ref)
+        dwout_ref[...] = jnp.zeros_like(dwout_ref)
+        dgpre_ref[...] = jnp.zeros_like(dgpre_ref)
+        dgout_ref[...] = jnp.zeros_like(dgout_ref)
+
+    x = x_ref[0]
+    gpre32 = gpre_ref[...].astype(jnp.float32)
+    gout32 = gout_ref[...].astype(jnp.float32)
+    stats32 = stats_ref[0][:, :n_rows].T        # stored (n_stats, n)
+
+    xhat_pre, inv_pre, _, _, po, attnout, dead, row_valid, _ = _fwd_common(
+        x, gpre32, wqkv_ref[...], mask_ref[0], scale, causal, heads,
+        dim_head, n_rows, eps, n_real, maybe_dead,
+        qkv=qkv_ref[0][:n_rows], stats=stats32)
+    do = do_ref[0][:n_rows].astype(jnp.float32)
+    if row_valid is not None:
+        do = jnp.where(row_valid, do, 0.0)
+    # recompute the projection; its LN stats come stored
+    proj = _dot(attnout, wout_ref[...])
+    mean_o = stats32[:, 2 * heads + 2:2 * heads + 3]
+    inv_o = stats32[:, 2 * heads + 3:2 * heads + 4]
+    if row_valid is not None:
+        mean_o = jnp.where(row_valid, mean_o, 0.0)
+        inv_o = jnp.where(row_valid, inv_o, 1.0)
+    xhat_o = (proj - mean_o) * inv_o
+
+    dproj, dg_out = _ln_bwd(do, xhat_o, inv_o, gout32)
+    dgout_ref[...] += dg_out
+
+    dattn = _dot(dproj.astype(x.dtype), wout_ref[...], tb=True)
+    dwout_ref[...] += _dot(attnout, dproj.astype(x.dtype), ta=True)
+
+    delta_all = _delta_all_heads(dattn, attnout, heads, dim_head, scale)
+    dqkv_parts_q, dqkv_parts_k, dqkv_parts_v = [], [], []
+    for h in range(heads):
+        q, k, v, p, _ = po[h]
+        do_h = dattn[:, h * dim_head:(h + 1) * dim_head].astype(jnp.float32)
+        # dp/delta carry the softmax scale (folded into do_h / the delta
+        # dot) — saves one n×n multiply per head
+        dp = _dot((do_h * scale).astype(v.dtype), v, tb=True)
+        ds = p * (dp - delta_all[:, h:h + 1])
+        if maybe_dead:
+            ds = jnp.where(dead, 0.0, ds)
+        ds = ds.astype(x.dtype)
+        dqkv_parts_q.append(_dot(ds, k))
+        dqkv_parts_k.append(_dot(ds, q, ta=True))
+        dqkv_parts_v.append(_dot(p.astype(x.dtype), do_h.astype(x.dtype),
+                                 ta=True))
+    dqkv = jnp.concatenate(
+        dqkv_parts_q + dqkv_parts_k + dqkv_parts_v, axis=-1).astype(x.dtype)
+
+    # _fwd_common returns xn=None when qkv is stored; rebuild it
+    # elementwise (xhat_pre is already sanitized and fp32)
+    xn = (xhat_pre * gpre32).astype(x.dtype)
+    dxn = _dot(dqkv, wqkv_ref[...], tb=True)
+    dwqkv_ref[...] += _dot(xn, dqkv, ta=True)
+
+    dx_pre, dg_pre = _ln_bwd(dxn, xhat_pre, inv_pre, gpre32)
+    dgpre_ref[...] += dg_pre
+
+    dx_ref[0, :n_rows] = (dx_pre + do).astype(dx_ref.dtype)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
 def attention_block(x, g_pre, w_qkv, w_out, g_out, mask,
                     heads, dim_head, scale, causal=False, interpret=None,
@@ -516,9 +645,11 @@ def attention_block(x, g_pre, w_qkv, w_out, g_out, mask,
     Differentiable w.r.t. the five tensor arguments. `maybe_dead=False`
     (static) skips the all-keys-masked row handling — pass it when the
     mask is known to be all-True (e.g. synthesized for mask=None).
-    `store_qkv=True` keeps the fused qkv tensor as a backward residual
-    instead of recomputing LN + xn@w_qkv per batch element (check
-    `supported(..., store_qkv=True)`)."""
+    `store_qkv=True` keeps the fused qkv tensor (+ attnout/proj) as
+    backward residuals instead of recomputing LN + xn@w_qkv per batch
+    element; `store_qkv="qkv"` keeps ONLY qkv and recomputes the rest
+    with in-VMEM dW accumulation (check `supported(..., store_qkv=...)`
+    with the matching value)."""
     out, _ = _mega_fwd(x, g_pre, w_qkv, w_out, g_out, mask,
                        heads, dim_head, scale, causal, interpret, maybe_dead,
                        store_qkv, need_residuals=False)
@@ -554,6 +685,8 @@ def _mega_fwd(x, g_pre, w_qkv, w_out, g_out, mask,
     if not need_residuals:  # primal-only (inference): leanest forward
         store_qkv = False
         kernel = _fwd_kernel
+    elif store_qkv == "qkv":
+        kernel = _fwd_kernel_qkv
     else:
         kernel = _fwd_kernel_stored if store_qkv else _fwd_kernel_stats
     out_specs = pl.BlockSpec((1, n_pad, dim), lambda i: (i, 0, 0))
@@ -561,6 +694,13 @@ def _mega_fwd(x, g_pre, w_qkv, w_out, g_out, mask,
     n_stats = 2 * heads + 4
     if not need_residuals:
         pass
+    elif store_qkv == "qkv":
+        out_specs = [out_specs,
+                     pl.BlockSpec((1, n_pad, 3 * hd), lambda i: (i, 0, 0)),
+                     pl.BlockSpec((1, n_stats, n_pad), lambda i: (i, 0, 0))]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((b, n, 3 * hd), x.dtype),
+                     jax.ShapeDtypeStruct((b, n_stats, n), jnp.float32)]
     elif store_qkv:
         out_specs = [out_specs,
                      pl.BlockSpec((1, n_pad, 3 * hd), lambda i: (i, 0, 0)),
@@ -599,6 +739,9 @@ def _mega_fwd(x, g_pre, w_qkv, w_out, g_out, mask,
     )(x_p, g_pre[None, :], w_qkv, w_out, g_out[None, :], key_valid)
     if not need_residuals:
         return res, (x_p, key_valid, None)
+    if store_qkv == "qkv":
+        out, qkv, stats = res
+        return out, (x_p, key_valid, (qkv, stats))
     if store_qkv:
         out, qkv, attnout, proj, stats = res
         return out, (x_p, key_valid, (qkv, attnout, proj, stats))
@@ -639,7 +782,37 @@ def _mega_bwd_vjp(heads, dim_head, scale, causal, interpret, maybe_dead,
     ]
     args = [x_p, g_pre[None, :], w_qkv, w_out, g_out[None, :], key_valid,
             do_p]
-    if store_qkv:
+    if store_qkv == "qkv":
+        qkv, stats = qkv
+        n_stats = 2 * heads + 4
+        in_specs += [
+            pl.BlockSpec((1, n_pad, 3 * hd), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, n_stats, n_pad), lambda i: (i, 0, 0)),
+        ]
+        args += [qkv, stats]
+        dx, dwqkv, dwout, dgpre, dgout = pl.pallas_call(
+            functools.partial(_bwd_kernel_qkv, scale=scale, causal=causal,
+                              heads=heads, dim_head=dim_head, n_rows=n_rows,
+                              eps=eps, n_real=n, maybe_dead=maybe_dead),
+            grid=(b,),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((1, n_pad, dim), lambda i: (i, 0, 0)),
+                pl.BlockSpec((dim, 3 * hd), lambda i: (0, 0)),
+                pl.BlockSpec((hd, dim), lambda i: (0, 0)),
+                pl.BlockSpec((1, dim), lambda i: (0, 0)),
+                pl.BlockSpec((1, dim), lambda i: (0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, n, dim), x_p.dtype),
+                jax.ShapeDtypeStruct((dim, 3 * hd), jnp.float32),
+                jax.ShapeDtypeStruct((hd, dim), jnp.float32),
+                jax.ShapeDtypeStruct((1, dim), jnp.float32),
+                jax.ShapeDtypeStruct((1, dim), jnp.float32),
+            ],
+            interpret=interpret,
+        )(*args)
+    elif store_qkv:
         qkv, attnout, proj, stats = qkv
         n_stats = 2 * heads + 4
         in_specs += [

@@ -152,8 +152,8 @@ def attention_apply(params, x, *, heads: int, dim_head: int,
                     remat_wide: bool = False):
     b, n, _ = x.shape
     scale = dim_head ** -0.5
-    if attn_impl == "fused_recompute":
-        # the store/recompute distinction only exists for the megablock
+    if attn_impl in ("fused_recompute", "fused_qkv"):
+        # the store/recompute/qkv distinction only exists for the megablock
         # (transformer_apply); here it means the whole-head fused kernel
         attn_impl = "fused"
 
@@ -312,24 +312,33 @@ def transformer_apply(params, x, *, heads: int, dim_head: int,
                   and remat_policy == "wide")
 
     use_mega = mega_store = False
-    if attn_impl in ("fused", "fused_recompute") and rotary is None and not (
+    if attn_impl in ("fused", "fused_recompute", "fused_qkv") and \
+            rotary is None and not (
             training and attn_dropout > 0.0 and rng is not None):
         from ..kernels.attention_megablock import supported as _mega_ok
         n_pad = ((x.shape[1] + 127) // 128) * 128
-        # 'fused' prefers the stored-qkv backward (skips the LN+qkv
-        # recompute per batch element; the freed dW_qkv accumulator pays
-        # for the extra buffers) and falls back to the recompute variant if
-        # VMEM is tight. 'fused_recompute' forces the recompute backward —
-        # the stored qkv residual costs O(b·n·3·hd) HBM per layer, which a
-        # memory-bound large-batch run cannot afford (docs/SCALING.md).
+        # 'fused' prefers the full stored backward (skips the LN+qkv, p@v
+        # and projection recomputes; the freed dW_qkv accumulator pays for
+        # the extra buffers), degrading to qkv-only store then recompute
+        # as VMEM tightens. 'fused_qkv' forces the qkv-only store — the
+        # middle point on the speed/HBM curve (O(b·n·3hd) residual vs
+        # full-store's O(b·n·5hd)), for shapes like dim-768 b128 where the
+        # full residuals blow HBM but qkv alone fits (docs/SCALING.md).
+        # 'fused_recompute' forces the recompute backward — no O(b·n·hd)
+        # residuals at all, the memory-bound large-batch choice.
         # stored backwards only pay off when a backward will run: at
         # inference the forward would write qkv/attnout/proj residuals to
         # HBM that nothing reads (an opaque pallas output XLA cannot DCE)
-        mega_store = (attn_impl == "fused" and training
-                      and _mega_ok(heads, dim_head, x.shape[-1], n_pad,
-                                   x.dtype, store_qkv=True))
-        use_mega = mega_store or _mega_ok(heads, dim_head, x.shape[-1],
-                                          n_pad, x.dtype)
+        if training and attn_impl != "fused_recompute":
+            if (attn_impl == "fused"
+                    and _mega_ok(heads, dim_head, x.shape[-1], n_pad,
+                                 x.dtype, store_qkv=True)):
+                mega_store = True
+            elif _mega_ok(heads, dim_head, x.shape[-1], n_pad, x.dtype,
+                          store_qkv="qkv"):
+                mega_store = "qkv"
+        use_mega = bool(mega_store) or _mega_ok(heads, dim_head,
+                                                x.shape[-1], n_pad, x.dtype)
 
     # sublane-align the sequence for the Pallas-kernel stack: the FF block
     # flattens (b, n, d) → (b·n, d), which is a free bitcast when n is a
