@@ -38,12 +38,20 @@ def main():
     from xclip_tpu import CLIP
     from xclip_tpu.train import (create_train_state, default_optimizer,
                                  make_train_step)
+    # XCLIP_BENCH_ATTN / XCLIP_BENCH_VATTN / XCLIP_BENCH_FF override for
+    # A/B runs. The text tower must stay recompute at this shard (its qkv
+    # residual alone is 6 x 1.6 GB); the VISION tower's qkv is only
+    # ~0.2 GB/layer, inside the measured 4.1 GB headroom.
+    attn_impl = os.environ.get("XCLIP_BENCH_ATTN", "fused_recompute")
+    visual_attn_impl = os.environ.get("XCLIP_BENCH_VATTN") or None
+    ff_impl = os.environ.get("XCLIP_BENCH_FF", "block")
     clip = CLIP(
         dim_text=512, dim_image=512, dim_latent=512, num_text_tokens=10000,
         text_enc_depth=6, text_seq_len=256, text_heads=8,
         visual_enc_depth=6, visual_heads=8, visual_image_size=256,
         visual_patch_size=32, visual_patch_dropout=0.5,
-        scan_layers=False, attn_impl="fused_recompute", ff_impl="block",
+        scan_layers=False, attn_impl=attn_impl,
+        visual_attn_impl=visual_attn_impl, ff_impl=ff_impl,
         loss_impl="fused", param_dtype=jnp.bfloat16, compute_dtype="bfloat16")
     optimizer = default_optimizer(learning_rate=1e-4)
     state = create_train_state(clip.model, jax.random.PRNGKey(0), optimizer,
@@ -88,7 +96,8 @@ def main():
         "value": round(batch * steps / elapsed, 1),
         "batch_size": batch,
         "peak_hbm_gb": peak_gb,
-        "config": {"attn_impl": "fused_recompute", "ff_impl": "block",
+        "config": {"attn_impl": attn_impl,
+                   "visual_attn_impl": visual_attn_impl, "ff_impl": ff_impl,
                    "loss_impl": "fused", "param_dtype": "bfloat16"},
         "final_loss": round(loss, 4),
         "backend": jax.default_backend(),
