@@ -99,12 +99,13 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     gates = gate_report()
-    # production config at this shape: qkv-only stored attention (the FULL
-    # stored residuals OOM at b128, but qkv alone is +2.6 GB on the 4.2 GB
-    # recompute peak → 6.85 GB, measured r5, and buys +3% over recompute:
-    # 420.9 → 433.4) + recompute-backward FF with the fed dW pass.
-    # XCLIP_BENCH_ATTN / XCLIP_BENCH_FF override for A/B runs.
-    attn_impl = os.environ.get("XCLIP_BENCH_ATTN", "fused_qkv")
+    # production config at this shape: FULL stored attention + lean FF
+    # with the fed dW pass. The r4 "stored residuals OOM at b128" was the
+    # FF triple (6 x 1.28 GB); the attention residuals alone fit (8.74 GB
+    # measured) and win — 445.7 vs 433.4 (qkv-only, 6.85 GB) vs 420.9
+    # (recompute, 4.21 GB). XCLIP_BENCH_ATTN / XCLIP_BENCH_FF override
+    # for A/B runs ('fused_qkv' is the b256-class choice — see SCALING.md).
+    attn_impl = os.environ.get("XCLIP_BENCH_ATTN", "fused")
     ff_impl = os.environ.get("XCLIP_BENCH_FF", "block")
     pairs, loss = run(batch, steps, warmup=2,
                       attn_impl=attn_impl, ff_impl=ff_impl)
